@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * At 100 TB these would be partitioned/bucketed catalog tables; the
+  * loader is the single seam where that swap happens — every query goes
+  * through [[Tables.t]] so a future `spark.table(name)` (catalog-backed,
+  * partition-pruned) changes one line, not fifty queries.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from an sf directory.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read as a timestamp; read it as raw nanos and floor-truncate to
+    * micros — exactly what DuckDB (microsecond timestamps) does, so both
+    * engines see identical values.
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Register all tables as temp views (for spark.sql-style queries). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,351 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables.t
+import Q.{dec, dec38}
+
+/** Aggregation + window operators — SURVEY.md §2.4 (A1–A14) and §2.6
+  * (W1–W6). The reference maintains these as in-place row mutations
+  * (reference/sql.py); here every one is a deterministic window/agg over
+  * the immutable fact table — the mutate→derive rewrite of SURVEY §4.2.
+  *
+  * Signed "ledger delta" convention used throughout: purchases debit
+  * (−value), everything else credits (+value) — mirroring the
+  * double-entry credit/debit pairs of AddressesInTxs.
+  */
+object AggQueries {
+
+  private def delta = when(col("event_type") === "purchase", -dec(col("value")))
+    .otherwise(dec(col("value")))
+
+  /** A1+A2 — running balance accumulator and after-balance snapshot
+    * (sql.py:1320-1418 updateBalance; :1658-1662 finalizeAfterBalances).
+    * One cumulative window gives both the before- and after-images; at
+    * scale this shuffles once on user_id and sorts within partitions.
+    */
+  val a1 = Q(
+    "a1_running_balance",
+    """SELECT event_id, user_id,
+      |  CAST(sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS balance_after,
+      |  CAST(coalesce(sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DECIMAL(38,4)) AS balance_before
+      |FROM (SELECT event_id, user_id, ts,
+      |        CASE WHEN event_type = 'purchase' THEN -CAST(value AS DECIMAL(20,4))
+      |             ELSE CAST(value AS DECIMAL(20,4)) END AS delta
+      |      FROM events)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), delta.as("delta"))
+      .select(col("event_id"), col("user_id"),
+        dec38(sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .as("balance_after"),
+        dec38(coalesce(
+          sum("delta").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0))).as("balance_before"))
+      .orderBy("event_id")
+  }
+
+  /** A3/A10/W4/O2 — latest-per-key (lastTxDbSerialNum, latest rate:
+    * sql.py:282,295; updatePrices.py:67-68): row_number over desc order.
+    */
+  val a10 = Q(
+    "a10_latest_per_key",
+    """SELECT event_type, event_id AS last_event_id,
+      |  CAST(value AS DECIMAL(20,4)) AS last_value
+      |FROM (SELECT event_type, event_id, value,
+      |        row_number() OVER (PARTITION BY event_type
+      |          ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("event_id").as("last_event_id"),
+        dec(col("value")).as("last_value"))
+      .orderBy("event_type")
+  }
+
+  /** A4 — address stats (sql.py:1644-1656): per-key tx count, last
+    * serial, last activity, distinct types.
+    */
+  val a4 = Q(
+    "a4_key_stats",
+    """SELECT user_id, count(*) AS tx_count,
+      |  CAST(max(event_id) AS BIGINT) AS last_event_id,
+      |  max(ts) AS last_ts,
+      |  count(DISTINCT event_type) AS n_types
+      |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("tx_count"),
+        max("event_id").cast(LongType).as("last_event_id"),
+        max("ts").as("last_ts"),
+        countDistinct("event_type").as("n_types"))
+      .orderBy("user_id")
+  }
+
+  /** A5 — per-block tx stats with conditional aggregation
+    * (sql.py:238-312): SQL FILTER clauses become sum(when(...)) — still
+    * one scan, map-side partial agg.
+    */
+  val a5 = Q(
+    "a5_conditional_agg",
+    """SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+      |    THEN CAST(o_totalprice AS DECIMAL(20,4)) END) AS DECIMAL(38,4)) AS valid_value,
+      |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS valid_n,
+      |  count(CASE WHEN o_orderstatus <> 'F' THEN 1 END) AS invalid_n
+      |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          dec38(sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice")))))
+            .as("valid_value"),
+          count(when(col("o_orderstatus") === "F", 1)).as("valid_n"),
+          count(when(col("o_orderstatus") =!= "F", 1)).as("invalid_n"))
+        .orderBy("o_orderpriority")
+  }
+
+  /** A6/O4 — market ticker refresh (sql.py:893-974 updatemarkets):
+    * supply = sum over active offers, best price = min over untouched
+    * offers — conditional min, one shuffle on the pair key.
+    */
+  val a6 = Q(
+    "a6_market_ticker",
+    """SELECT l_partkey,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS supply,
+      |  CAST(min(CASE WHEN l_discount = 0
+      |    THEN CAST(l_extendedprice AS DECIMAL(20,4)) END) AS DECIMAL(20,4)) AS best_price,
+      |  count(*) AS n_offers
+      |FROM lineitem GROUP BY 1 ORDER BY l_partkey""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(dec38(sum(dec(col("l_quantity")))).as("supply"),
+          min(when(col("l_discount") === 0, dec(col("l_extendedprice"))))
+            .cast(DecimalType(20, 4)).as("best_price"),
+          count(lit(1)).as("n_offers"))
+        .orderBy("l_partkey")
+  }
+
+  /** A7/W3 — trailing 24-h sliding aggregate (sql.py:266,276): RANGE
+    * frame over event-time micros; frame-by-value makes same-timestamp
+    * ties deterministic.
+    */
+  val a7 = Q(
+    "a7_trailing_24h",
+    """SELECT event_id, n_24h, CAST(sum_24h AS DECIMAL(38,4)) AS sum_24h
+      |FROM (SELECT event_id,
+      |        count(*) OVER w AS n_24h,
+      |        sum(v) OVER w AS sum_24h
+      |      FROM (SELECT event_id, user_id, epoch_us(ts) AS us,
+      |              CAST(value AS DECIMAL(20,4)) AS v FROM events)
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |        RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW))
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-86400000000L, 0)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), dec(col("value")).as("v"))
+      .select(col("event_id"),
+        count(lit(1)).over(w).as("n_24h"),
+        dec38(sum("v").over(w)).as("sum_24h"))
+      .orderBy("event_id")
+  }
+
+  /** A8 — VWAP (updatePrices.py:215-222): Σ(amount×rate)/Σ(amount) in
+    * exact integer base units (reference stores amounts ×1e8; we scale
+    * qty ×1e4 and price ×1e2) — order-independent, so safe to combine
+    * map-side.
+    */
+  val a8 = Q(
+    "a8_vwap",
+    """SELECT l_partkey, CAST(num AS BIGINT) AS vwap_num,
+      |  CAST(den AS BIGINT) AS vwap_den,
+      |  CAST(num // den AS BIGINT) AS vwap_floor
+      |FROM (SELECT l_partkey,
+      |        sum(CAST(round(l_quantity * 10000) AS BIGINT)
+      |          * CAST(round(l_extendedprice * 100) AS BIGINT)) AS num,
+      |        sum(CAST(round(l_quantity * 10000) AS BIGINT)) AS den
+      |      FROM lineitem GROUP BY 1)
+      |ORDER BY l_partkey""".stripMargin) { (s, dir) =>
+    val qtyU = round(col("l_quantity") * 10000).cast(LongType)
+    val priceU = round(col("l_extendedprice") * 100).cast(LongType)
+    t(s, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum(qtyU * priceU).cast(LongType).as("num"),
+        sum(qtyU).cast(LongType).as("den"))
+      .select(col("l_partkey"), col("num").as("vwap_num"),
+        col("den").as("vwap_den"),
+        expr("num div den").cast(LongType).as("vwap_floor"))
+      .orderBy("l_partkey")
+  }
+
+  /** A9 — mean fee across sources (updateFees.py:85-88): int(sum/len) —
+    * truncating integer mean, reproduced with integer division (never a
+    * fractional→int CAST, which rounds in DuckDB but truncates in Spark).
+    */
+  val a9 = Q(
+    "a9_int_mean",
+    """SELECT event_type,
+      |  CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents,
+      |  count(*) AS n
+      |FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |      FROM events)
+      |GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      .groupBy("event_type")
+      .agg(sum("cents").cast(LongType).as("csum"), count(lit(1)).as("n"))
+      .select(col("event_type"),
+        expr("csum div n").cast(LongType).as("mean_cents"), col("n"))
+      .orderBy("event_type")
+  }
+
+  /** A11/W5 — STO proportional distribution (sql.py:470-534
+    * sendToOwners): the reference's order-dependent loop — each holder
+    * gets ceil(share), later holders absorb the shortfall — re-expressed
+    * as its exact closed form: a prefix-sum window + least/greatest
+    * clamp. Holders sorted (amount DESC, key ASC) per sortSTO
+    * (sql.py:463-468). Integer ceil-division (a*b+t-1) div t keeps it
+    * exact in both engines. The global total is computed as an aggregate
+    * and broadcast — no single-partition global window on the data path.
+    */
+  val a11 = Q(
+    "a11_sto_distribution",
+    """WITH h AS (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+      |           FROM customer WHERE c_acctbal > 0),
+      |tot AS (SELECT CAST(sum(bal) AS BIGINT) AS total FROM h),
+      |s AS (SELECT c_custkey, bal,
+      |        (bal * 1000000 + total - 1) // total AS share
+      |      FROM h CROSS JOIN tot),
+      |p AS (SELECT c_custkey, bal, share,
+      |        coalesce(sum(share) OVER (ORDER BY bal DESC, c_custkey ASC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      |      FROM s)
+      |SELECT c_custkey, CAST(share AS BIGINT) AS share,
+      |  CAST(least(share, greatest(1000000 - prior, 0)) AS BIGINT) AS paid
+      |FROM p WHERE least(share, greatest(1000000 - prior, 0)) > 0
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val h = t(s, dir, "customer")
+      .where(col("c_acctbal") > 0)
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast(LongType).as("bal"))
+    val tot = h.agg(sum("bal").cast(LongType).as("total"))
+    val shares = h.crossJoin(broadcast(tot))
+      .withColumn("share", expr("(bal * 1000000 + total - 1) div total"))
+    // Ordered prefix sum over the holder set of ONE property — small by
+    // construction (the reference iterates it in memory); a global window
+    // is acceptable here, unlike W1's global serial.
+    val w = Window.orderBy(col("bal").desc, col("c_custkey").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    shares
+      .withColumn("prior", coalesce(sum("share").over(w), lit(0L)))
+      .withColumn("paid",
+        least(col("share"), greatest(lit(1000000L) - col("prior"), lit(0L))))
+      .where(col("paid") > 0)
+      .select(col("c_custkey"), col("share").cast(LongType).as("share"),
+        col("paid").cast(LongType).as("paid"))
+      .orderBy("c_custkey")
+  }
+
+  /** A12/J11 — consensus reconciliation diff (sql.py:1205-1316
+    * checkbalances_MP): full outer join of independently derived state
+    * vs the authoritative snapshot, mismatches classified.
+    */
+  val a12 = Q(
+    "a12_consensus_diff",
+    """SELECT coalesce(db.custkey, node.custkey) AS custkey,
+      |  CASE WHEN db.custkey IS NULL THEN 'MissingDB'
+      |       WHEN node.custkey IS NULL THEN 'MissingNode'
+      |       ELSE 'OK' END AS status,
+      |  CAST(coalesce(db.n_orders, 0) AS BIGINT) AS n_orders,
+      |  CAST(coalesce(db.spend, 0) AS BIGINT) AS spend_cents,
+      |  CAST(coalesce(node.bal, 0) AS BIGINT) AS bal_cents
+      |FROM (SELECT o_custkey AS custkey, count(*) AS n_orders,
+      |        sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend
+      |      FROM orders GROUP BY 1) db
+      |FULL OUTER JOIN
+      |     (SELECT c_custkey AS custkey,
+      |        CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+      |      FROM customer) node
+      |ON db.custkey = node.custkey
+      |ORDER BY custkey""".stripMargin) { (s, dir) =>
+    val db = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast(LongType)).as("spend"))
+    val node = t(s, dir, "customer")
+      .select(col("c_custkey").as("custkey"),
+        round(col("c_acctbal") * 100).cast(LongType).as("bal"))
+    db.join(node, db("custkey") === node("custkey"), "full_outer")
+      .select(
+        coalesce(db("custkey"), node("custkey")).as("custkey"),
+        when(db("custkey").isNull, "MissingDB")
+          .when(node("custkey").isNull, "MissingNode")
+          .otherwise("OK").as("status"),
+        coalesce(col("n_orders"), lit(0L)).cast(LongType).as("n_orders"),
+        coalesce(col("spend"), lit(0L)).cast(LongType).as("spend_cents"),
+        coalesce(col("bal"), lit(0L)).cast(LongType).as("bal_cents"))
+      .orderBy("custkey")
+  }
+
+  /** A14 — first/last ordered aggregates
+    * (omni_db_create_functions.psql:4-27): built-in first_value /
+    * last_value window functions, no custom UDAF.
+    */
+  val a14 = Q(
+    "a14_first_last",
+    """SELECT DISTINCT user_id,
+      |  first_value(v) OVER w AS f_val,
+      |  last_value(v) OVER w AS l_val
+      |FROM (SELECT user_id, ts, event_id, CAST(value AS DECIMAL(20,4)) AS v
+      |      FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        dec(col("value")).as("v"))
+      .select(col("user_id"),
+        first("v").over(w).as("f_val"),
+        last("v").over(w).as("l_val"))
+      .distinct()
+      .orderBy("user_id")
+  }
+
+  /** W6 — offer-lifecycle ordering (sql.py:704-794): lag/lead over
+    * per-key serial-ordered sequences (which prior offer does an
+    * update/cancel refer to).
+    */
+  val w6 = Q(
+    "w6_lifecycle_lag",
+    """SELECT event_id, user_id,
+      |  lag(event_id) OVER w AS prev_event_id,
+      |  lag(event_type) OVER w AS prev_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        lag("event_id", 1).over(w).as("prev_event_id"),
+        lag("event_type", 1).over(w).as("prev_type"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(a1, a10, a4, a5, a6, a7, a8, a9, a11, a12, a14, w6)
+}

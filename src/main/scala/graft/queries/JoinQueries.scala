@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables.t
+import graft.operators.GlobalSerial
+import Q.{dec, dec38}
+
+/** Joins, ordering, set ops, and maintenance-as-derivation —
+  * SURVEY.md §2.5 (J1–J11), §2.6 (W1), §2.7 (O1–O6), §2.8 (M2/M4).
+  */
+object JoinQueries {
+
+  /** J1 — fact ⋈ fact on serial with validity filter (sql.py:270-274):
+    * lineitem ⋈ orders, shuffle on the join key; aggregation after the
+    * join is pre-shrunk by the status filter.
+    */
+  val j1 = Q(
+    "j1_fact_join",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |  count(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY 1 ORDER BY month""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").where(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast(LongType))
+        .cast(LongType).as("revenue_cents"),
+        count(lit(1)).as("n"))
+      .orderBy("month")
+  }
+
+  /** J2 — fact ⋈ small dimension (sql.py:272-274): explicit broadcast of
+    * the property-like dimension — no shuffle of the fact side's join.
+    */
+  val j2 = Q(
+    "j2_broadcast_dim",
+    """SELECT p_brand,
+      |  CAST(sum(CAST(round(l_quantity * 10000) AS BIGINT)) AS BIGINT) AS qty_units,
+      |  count(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY p_brand""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum(round(col("l_quantity") * 10000).cast(LongType))
+        .cast(LongType).as("qty_units"),
+        count(lit(1)).as("n"))
+      .orderBy("p_brand")
+  }
+
+  /** J4 — as-of binding (sql.py:668-670): each accept binds to the
+    * seller's then-active offer = running max over prior events, not a
+    * join at all — one window pass.
+    */
+  val j4 = Q(
+    "j4_asof_binding",
+    """SELECT event_id, user_id, bound_signup FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    max(CASE WHEN event_type = 'signup' THEN event_id END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bound_signup
+      |  FROM events)
+      |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin) {
+    (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "events")
+        .withColumn("bound_signup",
+          max(when(col("event_type") === "signup", col("event_id"))).over(w))
+        .where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "bound_signup")
+        .orderBy("event_id")
+  }
+
+  /** J5 — UTXO-style linkage self-join (sql.py:1700-1716): link each row
+    * to its successor within the same parent — equi self-join on
+    * (parent, position+1); same-key shuffle on both sides, co-partitioned.
+    */
+  val j5 = Q(
+    "j5_self_linkage",
+    """SELECT a.l_orderkey, a.l_linenumber, b.l_linenumber AS next_line,
+      |  CAST(round(b.l_quantity * 10000) AS BIGINT) AS next_qty_units
+      |FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+      |ORDER BY a.l_orderkey, a.l_linenumber""".stripMargin) { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+    val a = li.select(col("l_orderkey"), col("l_linenumber"))
+    val b = li.select(col("l_orderkey").as("b_orderkey"),
+      col("l_linenumber").as("b_linenumber"),
+      round(col("l_quantity") * 10000).cast(LongType).as("next_qty_units"))
+    a.join(b, col("l_orderkey") === col("b_orderkey") &&
+        col("b_linenumber") === col("l_linenumber") + 1)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("b_linenumber").as("next_line"), col("next_qty_units"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** J6 — equi join + JSON-path theta predicate (sql.py:1427-1440). */
+  val j6 = Q(
+    "j6_json_theta_join",
+    """SELECT c_nationkey, count(*) AS n
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |WHERE CAST(json_extract_string(e.props, '$.k') AS BIGINT)
+      |      > CAST(c.c_nationkey AS BIGINT)
+      |GROUP BY 1 ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    t(s, dir, "events")
+      .join(t(s, dir, "customer"), col("user_id") === col("c_custkey"))
+      .where(k > col("c_nationkey").cast(LongType))
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+  }
+
+  /** J9 — the flagship wallet serving query (SQLstatements.md:15-86):
+    * fact agg ⋈ entity ⋈ broadcast geography dims, balance×value
+    * projections.
+    */
+  val j9 = Q(
+    "j9_wallet_flagship",
+    """WITH spend AS (SELECT o_custkey,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY 1)
+      |SELECT r_name, n_name, count(*) AS n_customers,
+      |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+      |  CAST(coalesce(sum(spend.cents), 0) AS BIGINT) AS spend_cents
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |LEFT JOIN spend ON spend.o_custkey = c_custkey
+      |GROUP BY 1, 2 ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+    val spend = t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast(LongType)).as("cents"))
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(spend, col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(round(col("c_acctbal") * 100).cast(LongType))
+          .cast(LongType).as("bal_cents"),
+        coalesce(sum(col("cents")), lit(0L)).cast(LongType).as("spend_cents"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** J10 — anti-join reconciliation (checkPending sql.py:314-354):
+    * entities with no facts.
+    */
+  val j10a = Q(
+    "j10_anti_join",
+    """SELECT c_custkey FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+  }
+
+  /** J10 — semi-join half: entities with ≥1 fact, counted per nation. */
+  val j10s = Q(
+    "j10_semi_join",
+    """SELECT c_nationkey, count(*) AS n FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY 1 ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+  }
+
+  /** W1 — deterministic global serial via [[GlobalSerial]] (range
+    * partition + zipWithIndex), never a one-partition row_number. The
+    * oracle IS the naive global row_number — proving the scalable path
+    * computes the identical total order.
+    */
+  val w1 = Q(
+    "w1_global_serial",
+    """SELECT o_orderkey,
+      |  row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS serial
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    GlobalSerial
+      .assign(t(s, dir, "orders"), "serial", col("o_orderdate"), col("o_orderkey"))
+      .select("o_orderkey", "serial")
+      .orderBy("o_orderkey")
+  }
+
+  /** O1 — two-key sort + deterministic top-k (sortSTO sql.py:463-468):
+    * Spark plans order+limit as TakeOrdered — no global sort
+    * materialization.
+    */
+  val o1 = Q(
+    "o1_topk_sort",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(round(l_quantity * 10000) AS BIGINT) AS qty_units
+      |FROM lineitem
+      |ORDER BY qty_units DESC, l_orderkey ASC, l_linenumber ASC
+      |LIMIT 100""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity") * 10000).cast(LongType).as("qty_units"))
+      .orderBy(col("qty_units").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .limit(100)
+  }
+
+  /** O6 — set ops (EXCEPT): event actors that are not order customers. */
+  val o6 = Q(
+    "o6_set_except",
+    """SELECT user_id AS id FROM events
+      |EXCEPT
+      |SELECT o_custkey AS id FROM orders
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events").select(col("user_id").as("id"))
+      .except(t(s, dir, "orders").select(col("o_custkey").as("id")))
+      .orderBy("id")
+  }
+
+  /** M2 — block-height expiry sweep (expireAccepts sql.py:537-588) as a
+    * derivation: expiry is a predicate against the tip, not a mutation.
+    * The tip scalar is computed once and broadcast.
+    */
+  val m2 = Q(
+    "m2_expiry_sweep",
+    """WITH mx AS (SELECT max(o_orderdate) AS tip FROM orders)
+      |SELECT o_orderpriority,
+      |  count(CASE WHEN o_orderdate + INTERVAL 30 DAY <= tip THEN 1 END) AS expired,
+      |  count(CASE WHEN o_orderdate + INTERVAL 30 DAY > tip THEN 1 END) AS live
+      |FROM orders CROSS JOIN mx
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val orders = t(s, dir, "orders")
+    val mx = orders.agg(max("o_orderdate").as("tip"))
+    orders.crossJoin(broadcast(mx))
+      .withColumn("expires", expr("o_orderdate + INTERVAL 30 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(count(when(col("expires") <= col("tip"), 1)).as("expired"),
+        count(when(col("expires") > col("tip"), 1)).as("live"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** M4 — reorg rollback as re-derivation (reorgRollback sql.py:85-218):
+    * state at the fork = the same aggregation over facts filtered to the
+    * fork point. No inverse operators — THE payoff of immutable facts.
+    */
+  val m4 = Q(
+    "m4_reorg_rederive",
+    """WITH tip AS (SELECT max(ts) AS mt FROM events)
+      |SELECT user_id,
+      |  CAST(sum(CASE WHEN ts <= mt - INTERVAL 7 DAY THEN delta END) AS DECIMAL(38,4)) AS bal_at_fork,
+      |  CAST(sum(delta) AS DECIMAL(38,4)) AS bal_at_tip
+      |FROM (SELECT user_id, ts,
+      |        CASE WHEN event_type = 'purchase' THEN -CAST(value AS DECIMAL(20,4))
+      |             ELSE CAST(value AS DECIMAL(20,4)) END AS delta
+      |      FROM events) CROSS JOIN tip
+      |GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val tip = ev.agg(max("ts").as("mt"))
+    val delta = when(col("event_type") === "purchase", -dec(col("value")))
+      .otherwise(dec(col("value")))
+    ev.select(col("user_id"), col("ts"), delta.as("delta"))
+      .crossJoin(broadcast(tip))
+      .groupBy("user_id")
+      .agg(
+        dec38(sum(when(col("ts") <= expr("mt - INTERVAL 7 DAYS"), col("delta"))))
+          .as("bal_at_fork"),
+        dec38(sum(col("delta"))).as("bal_at_tip"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(j1, j2, j4, j5, j6, j9, j10a, j10s, w1, o1, o6, m2, m4)
+}

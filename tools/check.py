@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 gate: run each oracle SQL in DuckDB
+against the sf parquet tables, compare to the Spark result parquet
+written by graft.Verify. Usage: tools/check.py SF_DIR OUT_DIR [name...]
+"""
+import json
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    ok = fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d) or (only and name not in only):
+            continue
+        try:
+            spark_df = con.sql(f"SELECT * FROM '{d}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark result: {e}")
+            fail += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle ({len(spark_df)} rows)")
+            continue
+        try:
+            duck_df = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            fail += 1
+            continue
+        a, b = norm(spark_df), norm(duck_df)
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            fail += 1
+            continue
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
+            fail += 1
+            continue
+        if a.equals(b):
+            ok += 1
+            print(f"OK   {name} ({len(a)} rows)")
+            continue
+        # find first differing cells
+        diffs = []
+        for c in a.columns:
+            neq = (a[c] != b[c]) & ~(a[c].isna() & b[c].isna())
+            if neq.any():
+                i = neq.idxmax()
+                diffs.append(f"{c}[{i}]: spark={a[c][i]!r} duck={b[c][i]!r}"
+                             f" (dtype {a[c].dtype} vs {b[c].dtype})")
+        print(f"FAIL {name}: {'; '.join(diffs[:4])}")
+        fail += 1
+    print(f"\n{ok} ok, {fail} fail")
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main()
