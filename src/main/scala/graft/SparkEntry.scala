@@ -13,7 +13,9 @@ object SparkEntry {
 
   /** All registered queries, in registry order. */
   def registry: Seq[Q] =
-    ScalarQueries.all ++ AggQueries.all ++ JoinQueries.all
+    ScalarQueries.all ++ AggQueries.all ++ JoinQueries.all ++
+      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
+      MultimodalQueries.all ++ SourceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The wallet serving query (SURVEY §3.3, J9): facts ⋈ entity ⋈

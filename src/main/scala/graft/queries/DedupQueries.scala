@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables.t
+
+/** Deduplication operators for a training-data pipeline: exact dedup,
+  * n-gram Jaccard, MinHash+LSH, SimHash. The synthetic corpus has no
+  * natural duplicates, so each query PLANTS deterministic near/exact
+  * duplicates (same construction on both engines) and must find exactly
+  * them — a self-checking oracle.
+  *
+  * Everything is integer/hash math (md5-derived 60-bit hashes, integer
+  * Jaccard-millis), so results are exact and evaluation-order-free at
+  * any parallelism. At 100 TB the shapes hold: shingle explode is a
+  * map-side flatMap, minhash is a map-side-combinable min-agg keyed by
+  * doc, banding turns the quadratic pair problem into an equi-join on
+  * (band, signature) — the only shuffle keys.
+  */
+object DedupQueries {
+
+  /** 60-bit deterministic hash from md5 — identical in Spark
+    * (conv(hex,16,10)) and DuckDB (('0x'||hex)::BIGINT).
+    */
+  private def h60(e: String): String =
+    s"cast(conv(substring(md5($e), 1, 15), 16, 10) as bigint)"
+  private def dh60(e: String): String =
+    s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
+
+  /** Planted corpus: originals + near-dups (first token dropped,
+    * +100000) + exact dups (every 10th doc, +200000).
+    */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      lower(col("text")).as("text"))
+    d.unionAll(d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      .unionAll(d.select((col("doc_id") + 100000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, lower(text) AS text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, lower(text) FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, substr(lower(text), position(' ' IN text) + 1)
+      |  FROM documents)""".stripMargin
+
+  /** Exact dedup: hash-groupBy on normalized content, keep the lowest
+    * id. One shuffle on the 128-bit content hash; at 100 TB this is the
+    * standard first pass (map-side combine shrinks each partition to its
+    * distinct hashes before the exchange).
+    */
+  val exact = Q(
+    "dedup_exact",
+    s"""WITH $corpusSql
+      |SELECT md5(trim(text)) AS content_hash, min(doc_id) AS keeper,
+      |  count(*) AS n_copies
+      |FROM corpus GROUP BY 1 HAVING count(*) > 1
+      |ORDER BY content_hash""".stripMargin) { (s, dir) =>
+    corpus(s, dir)
+      .groupBy(md5(trim(col("text"))).as("content_hash"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .where(col("n_copies") > 1)
+      .orderBy("content_hash")
+  }
+
+  // Word-3-gram shingling (docs with ≥3 tokens).
+  private val shingleSparkExpr =
+    """array_distinct(transform(sequence(1, size(arr) - 2),
+      |  i -> concat_ws(' ', element_at(arr, i), element_at(arr, i + 1),
+      |                 element_at(arr, i + 2))))""".stripMargin
+  private def shingled(c: DataFrame): DataFrame =
+    c.withColumn("arr", split(col("text"), " "))
+      .where(size(col("arr")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(shingleSparkExpr)).as("shingle"))
+
+  private val shingledSql =
+    """arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM corpus
+      |         WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         range(1, len(arr) - 1),
+      |         i -> arr[CAST(i AS INT)] || ' ' ||
+      |           arr[CAST(i + 1 AS INT)] || ' ' ||
+      |           arr[CAST(i + 2 AS INT)]))) AS shingle
+      |       FROM arrs)""".stripMargin
+  // NOTE: no line above may START with '||' — these fragments are
+  // re-interpolated into outer stripMargin strings, which would eat the
+  // first '|' as a margin.
+
+  /** n-gram Jaccard near-dup detection on a bounded id range: exact
+    * set-overlap via shingle equi-join (shared) + per-doc counts.
+    * jac_millis = 1000·|A∩B| / |A∪B| in integer math.
+    */
+  val jaccard = Q(
+    "dedup_ngram_jaccard",
+    s"""WITH $corpusSql,
+      |small AS (SELECT * FROM corpus WHERE doc_id % 100000 < 100),
+      |${shingledSql.replace("FROM corpus", "FROM small")},
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |shared AS (
+      |  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS shared
+      |  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT s.id_a, s.id_b, s.shared, ca.n AS na, cb.n AS nb,
+      |  CAST((1000 * s.shared) // (ca.n + cb.n - s.shared) AS BIGINT) AS jac_millis
+      |FROM shared s
+      |JOIN cnt ca ON ca.doc_id = s.id_a
+      |JOIN cnt cb ON cb.doc_id = s.id_b
+      |WHERE (1000 * s.shared) // (ca.n + cb.n - s.shared) >= 200
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val sh = shingled(corpus(s, dir).where(col("doc_id") % 100000 < 100))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sa = sh.toDF("id_a", "shingle")
+    val sb = sh.toDF("id_b", "shingle_b")
+    val shared = sa
+      .join(sb, col("shingle") === col("shingle_b") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(cnt.toDF("id_a2", "na"), col("id_a") === col("id_a2"))
+      .join(cnt.toDF("id_b2", "nb"), col("id_b") === col("id_b2"))
+      .withColumn("jac_millis",
+        expr("(1000 * shared) div (na + nb - shared)").cast(LongType))
+      .where(col("jac_millis") >= 200)
+      .select("id_a", "id_b", "shared", "na", "nb", "jac_millis")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash + LSH near-dup detection, the 100-TB-scale path:
+    * shingle → 8 md5-keyed minhashes per doc → 4 bands of 2 → candidate
+    * pairs via equi-join on (band, signature) → exact Jaccard verify on
+    * candidates only. No quadratic stage anywhere: the join key is the
+    * band signature, and verification touches only banded candidates.
+    */
+  val minhashLsh = Q(
+    "dedup_minhash_lsh",
+    s"""WITH $corpusSql,
+      |$shingledSql,
+      |h AS (SELECT doc_id, shingle,
+      |${(0 until 8).map(k => s"  ${dh60(s"'$k:' || shingle")} AS h$k")
+        .mkString(",\n")}
+      |FROM sh),
+      |mh AS (SELECT doc_id,
+      |${(0 until 8).map(k => s"  min(h$k) AS mh$k").mkString(",\n")}
+      |FROM h GROUP BY doc_id),
+      |bands AS (
+      |${(0 until 4).map(b =>
+        s"  SELECT doc_id, $b AS band, md5(CAST(mh${2 * b} AS VARCHAR) || ',' || CAST(mh${2 * b + 1} AS VARCHAR)) AS sig FROM mh")
+        .mkString("\n  UNION ALL\n")}),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |shared AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS shared
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.id_a
+      |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      |  GROUP BY 1, 2)
+      |SELECT s.id_a, s.id_b, s.shared, ca.n AS na, cb.n AS nb,
+      |  CAST((1000 * s.shared) // (ca.n + cb.n - s.shared) AS BIGINT) AS jac_millis
+      |FROM shared s
+      |JOIN cnt ca ON ca.doc_id = s.id_a
+      |JOIN cnt cb ON cb.doc_id = s.id_b
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val sh = shingled(corpus(s, dir))
+    val hashed = sh.select(col("doc_id") +: col("shingle") +:
+      (0 until 8).map(k =>
+        expr(h60(s"concat('$k:', shingle)")).as(s"h$k")): _*)
+    val mh = hashed.groupBy("doc_id")
+      .agg(min("h0").as("mh0"),
+        (1 until 8).map(k => min(s"h$k").as(s"mh$k")): _*)
+    val bands = (0 until 4).map { b =>
+      mh.select(col("doc_id"), lit(b).as("band"),
+        md5(concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+          .as("sig"))
+    }.reduce(_ unionAll _)
+    val cand = bands.toDF("id_a", "band", "sig")
+      .join(bands.toDF("id_b", "band_b", "sig_b"),
+        col("band") === col("band_b") && col("sig") === col("sig_b") &&
+          col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = cand
+      .join(sh.toDF("sa_doc", "shingle"), col("id_a") === col("sa_doc"))
+      .join(sh.toDF("sb_doc", "shingle_b"),
+        col("id_b") === col("sb_doc") && col("shingle") === col("shingle_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(cnt.toDF("id_a2", "na"), col("id_a") === col("id_a2"))
+      .join(cnt.toDF("id_b2", "nb"), col("id_b") === col("id_b2"))
+      .select(col("id_a"), col("id_b"), col("shared"), col("na"), col("nb"),
+        expr("(1000 * shared) div (na + nb - shared)").cast(LongType)
+          .as("jac_millis"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-dup detection: 32-bit simhash (per-bit ±1 vote over
+    * token hashes), candidate blocking on the top 16 bits, Hamming ≤ 3
+    * confirm via bit_count(xor). One explode + one group-by per doc;
+    * the pair stage joins only within blocks, never all-pairs.
+    */
+  val simhash: Q = {
+    val duckBitSums = (0 until 32)
+      .map(b => s"  CAST(sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$b")
+      .mkString(",\n")
+    val duckAssemble = (0 until 32)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    Q(
+      "dedup_simhash",
+      s"""WITH $corpusSql,
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM corpus),
+        |th AS (SELECT doc_id, ${dh60("token")} AS th FROM tok),
+        |bits AS (SELECT doc_id,
+        |$duckBitSums
+        |FROM th GROUP BY doc_id),
+        |sig AS (SELECT doc_id, CAST($duckAssemble AS BIGINT) AS simhash
+        |        FROM bits)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sim_a,
+        |  b.simhash AS sim_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b
+        |  ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val tok = corpus(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .withColumn("th", expr(h60("token")))
+      val bitSums = (0 until 32).map(b =>
+        sum(when(expr(s"(th >> $b) & 1") === 1, 1).otherwise(-1))
+          .cast(LongType).as(s"s$b"))
+      val bits = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val assemble = (0 until 32)
+        .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val sig = bits.select(col("doc_id"), assemble.cast(LongType).as("simhash"))
+      val a = sig.toDF("id_a", "sim_a")
+      val b = sig.toDF("id_b", "sim_b")
+      a.join(b, expr("(sim_a >> 16) = (sim_b >> 16)") && col("id_a") < col("id_b"))
+        .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast(LongType))
+        .where(col("hamming") <= 3)
+        .select("id_a", "id_b", "sim_a", "sim_b", "hamming")
+        .orderBy("id_a", "id_b")
+    }
+  }
+
+  val all: Seq[Q] = Seq(exact, jaccard, minhashLsh, simhash)
+}

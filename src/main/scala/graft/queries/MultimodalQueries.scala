@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables.t
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata. The real decode (image/audio libs) is stubbed with a
+  * deterministic fake; the Spark-side plumbing — binary columns, schema,
+  * batched partition-level processing, partitioning — is real and
+  * oracle-checked where SQL-expressible.
+  */
+object MultimodalQueries {
+
+  /** Binary ingestion + metadata extraction: text→utf8 bytes standing in
+    * for a media blob; byte length, content digest, magic-header hex,
+    * and a fake "feature" decoded from the header — all computable by
+    * the oracle, proving the binary plumbing (encode/substr/hex/digest)
+    * is byte-exact.
+    */
+  val binaryMeta = Q(
+    "mm_binary_meta",
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  sha256(text) AS digest,
+      |  lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
+      |  ('0x' || lower(hex(encode(substr(text, 1, 4)))))::BIGINT AS fake_feature
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val bin = expr("encode(text, 'utf-8')")
+    // Oracle slices the VARCHAR then encodes (DuckDB can't substr a
+    // BLOB) — byte-identical because the corpus is ASCII.
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        length(bin).cast(LongType).as("n_bytes"),
+        sha2(bin, 256).as("digest"),
+        lower(hex(substring(bin, 1, 4))).as("header_hex"),
+        conv(hex(substring(bin, 1, 4)), 16, 10).cast(LongType)
+          .as("fake_feature"))
+      .orderBy("doc_id")
+  }
+
+  /** Batched partition-level decode — the Scala analog of a pandas-UDF
+    * `mapInPandas` stage: rows flow through `mapPartitions` in batches,
+    * the "decoder" (STUB: deterministic byte-sum features over the blob)
+    * is called once per row inside the partition iterator, and the
+    * output schema is declared up front. Swapping the stub for a real
+    * image/audio codec changes only `decodeStub`. No oracle — DuckDB
+    * can't express the partition-iterator contract; the driver records a
+    * rows-only check, and the ScalaTest spec pins the values.
+    */
+  val decodeBatch = Q.noOracle("mm_decode_batch") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), expr("encode(text, 'utf-8')").as(("blob")))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("feat_sum", LongType, nullable = false),
+      StructField("feat_head", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    docs.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val blob = r.getAs[Array[Byte]](1)
+        val (sum, head) = Multimodal.decodeStub(blob)
+        Row(id, blob.length, sum, head)
+      }
+    }(enc).orderBy("doc_id").toDF()
+  }
+
+  val all: Seq[Q] = Seq(binaryMeta, decodeBatch)
+}
+
+/** The pluggable decode seam for multimodal blobs. */
+object Multimodal {
+  /** STUB standing in for an image/audio decoder (codecs are not in
+    * this container): deterministic features = (sum of unsigned bytes,
+    * big-endian first-4-bytes int). Replace with a real codec without
+    * touching the dataflow.
+    */
+  def decodeStub(blob: Array[Byte]): (Long, Long) = {
+    var sum = 0L
+    var i = 0
+    while (i < blob.length) { sum += blob(i) & 0xff; i += 1 }
+    var head = 0L
+    var j = 0
+    while (j < math.min(4, blob.length)) {
+      head = (head << 8) | (blob(j) & 0xff); j += 1
+    }
+    (sum, head)
+  }
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables.t
+
+/** Similarity search over the embedding column (Array[Float], 64-dim):
+  * brute-force cosine top-k as the exactness baseline, an LSH/IVF-style
+  * bucketed variant as the scale path, and embedding-cosine near-dup
+  * detection.
+  *
+  * Cross-engine exactness trick: embeddings are quantized to integer
+  * micro-units (×1e6) per element, so dot products and norms are exact
+  * integers (≪2^53 — exact even via double accumulation) in ANY
+  * summation order; only the final cos = dot/√(na·nb) touches floating
+  * point, and there every engine computes the identical IEEE expression
+  * on identical integer inputs.
+  */
+object SimilarityQueries {
+
+  /** vec_id, label, q (bigint[64]), nq (‖q‖², bigint). */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+          .as("q"))
+      .withColumn("nq",
+        expr("aggregate(transform(q, x -> x * x), 0L, (acc, v) -> acc + v)"))
+      .where(col("nq") > 0)
+
+  private val quantizedSql =
+    """qv AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS DOUBLE)) AS q
+      |  FROM embeddings),
+      |qn AS (
+      |  SELECT vec_id, label, q,
+      |    CAST(list_dot_product(q, q) AS BIGINT) AS nq
+      |  FROM qv WHERE list_dot_product(q, q) > 0)""".stripMargin
+
+  private val sparkDot =
+    "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+  private val cosMicros =
+    "cast(floor(1000000.0 * dot / sqrt(cast(na as double) * cast(nb as double))) as bigint)"
+
+  /** Brute-force cosine top-k for a fixed query set (vec_id < 8) over
+    * all candidates — the exact baseline every ANN variant is measured
+    * against. At scale: broadcast the query set, one pass over the
+    * corpus, per-query top-k via partial aggregation (TakeOrdered), no
+    * shuffle of the corpus.
+    */
+  val annBrute = Q(
+    "ann_cosine_topk",
+    s"""WITH $quantizedSql,
+      |pairs AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+      |    CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
+      |    a.nq AS na, b.nq AS nb
+      |  FROM qn a JOIN qn b ON b.vec_id <> a.vec_id
+      |  WHERE a.vec_id < 8),
+      |scored AS (
+      |  SELECT qid, cid,
+      |    CAST(floor(1000000.0 * dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cos_micros
+      |  FROM pairs),
+      |ranked AS (
+      |  SELECT qid, cid, cos_micros,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY cos_micros DESC, cid ASC) AS rank
+      |  FROM scored)
+      |SELECT qid, rank, cid, cos_micros FROM ranked WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+    val base = quantized(s, dir)
+    val queries = base.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("q").as("qa"), col("nq").as("na"))
+    val cands = base
+      .select(col("vec_id").as("cid"), col("q").as("qb"), col("nq").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos_micros").desc, col("cid").asc)
+    broadcast(queries).join(cands, col("cid") =!= col("qid"))
+      .withColumn("dot", expr(sparkDot))
+      .withColumn("cos_micros", expr(cosMicros))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= 10)
+      .select("qid", "rank", "cid", "cos_micros")
+      .orderBy("qid", "rank")
+  }
+
+  // Sign-LSH bucketing: 4 probe vectors (vec_id 0..3) act as the coarse
+  // quantizer (the IVF analog); bucket = 4 sign bits of probe dots.
+  private val bucketsSql =
+    s"""probes AS (SELECT vec_id AS pid, q AS pq FROM qn WHERE vec_id < 4),
+      |buckets AS (
+      |  SELECT e.vec_id, e.label, e.q, e.nq,
+      |    CAST(sum(CASE WHEN list_dot_product(e.q, p.pq) > 0
+      |      THEN 1 << p.pid ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM qn e CROSS JOIN probes p
+      |  GROUP BY e.vec_id, e.label, e.q, e.nq)""".stripMargin
+
+  private def buckets(base: DataFrame): DataFrame = {
+    val probes = base.where(col("vec_id") < 4)
+      .select(col("vec_id").as("pid"), col("q").as("pq"))
+    base.crossJoin(broadcast(probes))
+      .withColumn("pdot",
+        expr("aggregate(zip_with(q, pq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .groupBy("vec_id", "label", "nq")
+      .agg(sum(when(col("pdot") > 0, expr("1 << pid")).otherwise(0L))
+        .cast(LongType).as("bucket"),
+        first("q").as("q"))
+  }
+
+  /** LSH-bucketed ANN (IVF-style): the query probes only its own bucket
+    * — candidate set shrinks 2^4× here, arbitrarily at scale with more
+    * probes. Same scoring math as the brute-force baseline, so recall
+    * loss is visible by diffing the two results.
+    */
+  val annLsh = Q(
+    "ann_lsh_topk",
+    s"""WITH $quantizedSql,
+      |$bucketsSql,
+      |pairs AS (
+      |  SELECT a.vec_id AS qid, a.bucket, b.vec_id AS cid,
+      |    CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
+      |    a.nq AS na, b.nq AS nb
+      |  FROM buckets a JOIN buckets b
+      |    ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+      |  WHERE a.vec_id < 8),
+      |scored AS (
+      |  SELECT qid, bucket, cid,
+      |    CAST(floor(1000000.0 * dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cos_micros
+      |  FROM pairs),
+      |ranked AS (
+      |  SELECT qid, bucket, cid, cos_micros,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY cos_micros DESC, cid ASC) AS rank
+      |  FROM scored)
+      |SELECT qid, bucket, rank, cid, cos_micros FROM ranked WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+    val bk = buckets(quantized(s, dir))
+    val queries = bk.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("bucket"),
+        col("q").as("qa"), col("nq").as("na"))
+    val cands = bk.select(col("vec_id").as("cid"), col("bucket").as("cb"),
+      col("q").as("qb"), col("nq").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos_micros").desc, col("cid").asc)
+    queries
+      .join(cands, col("cb") === col("bucket") && col("cid") =!= col("qid"))
+      .withColumn("dot", expr(sparkDot))
+      .withColumn("cos_micros", expr(cosMicros))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= 5)
+      .select("qid", "bucket", "rank", "cid", "cos_micros")
+      .orderBy("qid", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs are
+    * generated only within (label, bucket) cells — the quadratic blowup
+    * is bounded by cell size, the cells are the shuffle key.
+    */
+  val cosineNear = Q(
+    "dedup_cosine_near",
+    s"""WITH $quantizedSql,
+      |$bucketsSql,
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label, a.bucket,
+      |    CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
+      |    a.nq AS na, b.nq AS nb
+      |  FROM buckets a JOIN buckets b
+      |    ON a.label = b.label AND a.bucket = b.bucket
+      |   AND a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, label, bucket,
+      |  CAST(floor(1000000.0 * dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cos_micros
+      |FROM pairs
+      |WHERE floor(1000000.0 * dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) >= 250000
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val bk = buckets(quantized(s, dir))
+    val a = bk.select(col("vec_id").as("id_a"), col("label"), col("bucket"),
+      col("q").as("qa"), col("nq").as("na"))
+    val b = bk.select(col("vec_id").as("id_b"), col("label").as("lb"),
+      col("bucket").as("bb"), col("q").as("qb"), col("nq").as("nb"))
+    a.join(b, col("label") === col("lb") && col("bucket") === col("bb") &&
+        col("id_a") < col("id_b"))
+      .withColumn("dot", expr(sparkDot))
+      .withColumn("cos_micros", expr(cosMicros))
+      .where(col("cos_micros") >= 250000)
+      .select("id_a", "id_b", "label", "bucket", "cos_micros")
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[Q] = Seq(annBrute, annLsh, cosineNear)
+}

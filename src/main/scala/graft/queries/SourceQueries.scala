@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables.t
+
+/** Source/sink operators — SURVEY.md §2.1. The reference's RPC/HTTP
+  * fetches are driver-side concerns; what the ENGINE owns is schema'd
+  * semi-structured parsing (S2/S3: raw tx JSON → typed columns) and
+  * file-format round-trips (S7 CSV source / S9 CSV sink).
+  */
+object SourceQueries {
+
+  /** S2/S3 — schema'd JSON parsing: from_json with an explicit schema
+    * (the engine's contract for raw payloads), vs the oracle's JSON-path
+    * extraction. At scale this replaces per-row RPC decode: one codegen'd
+    * JacksonParser pass.
+    */
+  val jsonSchema = Q(
+    "s2_json_schema_parse",
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_id"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"))
+      .orderBy("event_id")
+  }
+
+  /** S7/S9 — CSV sink + source round-trip: write a dimension to CSV
+    * (header, explicit schema on re-read — never inferSchema in
+    * production paths), read it back, aggregate. Oracle computes the
+    * same aggregate straight from parquet: proves the round-trip is
+    * lossless.
+    */
+  val csvRoundtrip = Q(
+    "s7_csv_roundtrip",
+    """SELECT n_regionkey, count(*) AS n_nations,
+      |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+      |FROM nation GROUP BY 1 ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_csv").toString
+    t(s, dir, "nation").write.mode("overwrite")
+      .option("header", "true").csv(tmp)
+    s.read
+      .schema(StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType))))
+      .option("header", "true").csv(tmp)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_nations"),
+        sum(col("n_nationkey").cast(LongType)).cast(LongType).as("key_sum"))
+      .orderBy("n_regionkey")
+  }
+
+  val all: Seq[Q] = Seq(jsonSchema, csvRoundtrip)
+}
