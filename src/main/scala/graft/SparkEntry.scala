@@ -15,7 +15,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     ScalarQueries.all ++ AggQueries.all ++ JoinQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      MultimodalQueries.all ++ SourceQueries.all
+      MultimodalQueries.all ++ SourceQueries.all ++ LedgerQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The wallet serving query (SURVEY §3.3, J9): facts ⋈ entity ⋈

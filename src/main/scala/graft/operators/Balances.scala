@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+
+/** Balance derivation (reference sql.py:1320-1418 updateBalance,
+  * :1658-1662 finalizeAfterBalances) — the mutate→derive rewrite.
+  *
+  * Two paths:
+  *  - [[derive]]: the fast path — one groupBy(address, propertyId) over
+  *    the ledger with four sums, map-side combinable, single shuffle.
+  *    Valid whenever no freeze events touch the key.
+  *  - [[deriveWithFreezes]]: the exact path with freeze semantics
+  *    (sql.py:2344-2356 snapshot + :1408-1414 receive-while-frozen
+  *    redirect), which is order-dependent per key → flatMapGroups over
+  *    serial-sorted per-key events. Only keys WITH freeze events take
+  *    this path (they are rare); everything else stays on the fast path,
+  *    so the sequential region touches a vanishing fraction of data at
+  *    100 TB.
+  */
+object Balances {
+
+  /** Fast path: final balances = Σ deltas per (address, propertyId). */
+  def derive(ledger: Dataset[LedgerEntry]): Dataset[AddressBalance] = {
+    val spark = ledger.sparkSession
+    import spark.implicits._
+    ledger
+      .groupBy($"address", $"propertyId")
+      .agg(sum($"availableDelta").as("available"),
+        sum($"reservedDelta").as("reserved"),
+        sum($"acceptedDelta").as("accepted"),
+        sum($"frozenDelta").as("frozen"),
+        max($"txDbSerialNum").as("lastTxDbSerialNum"))
+      .select($"address", $"propertyId", $"available", $"reserved",
+        $"accepted", $"frozen", $"lastTxDbSerialNum",
+        lit(false).as("frozenFlag"))
+      .as[AddressBalance]
+  }
+
+  /** Exact path: keys hit by freeze events are folded sequentially;
+    * all other keys use the fast aggregate. The union is the complete
+    * balance table.
+    */
+  def deriveWithFreezes(ledger: Dataset[LedgerEntry],
+      freezes: Dataset[FreezeEvent]): Dataset[AddressBalance] = {
+    val spark = ledger.sparkSession
+    import spark.implicits._
+
+    val frozenKeys = freezes.select($"address", $"propertyId").distinct()
+    val hot = ledger.join(frozenKeys, Seq("address", "propertyId"),
+      "left_semi").as[LedgerEntry]
+    val cold = ledger.join(frozenKeys, Seq("address", "propertyId"),
+      "left_anti").as[LedgerEntry]
+
+    val folded = hot
+      .groupByKey(e => (e.address, e.propertyId))
+      .cogroup(freezes.groupByKey(f => (f.address, f.propertyId))) {
+        case ((addr, pid), entries, marks) =>
+          Iterator.single(foldKey(addr, pid,
+            entries.toSeq.sortBy(e => (e.txDbSerialNum, e.addressTxIndex)),
+            marks.toSeq.sortBy(_.txDbSerialNum)))
+      }
+    folded.union(derive(cold))
+  }
+
+  /** Sequential fold of one (address, propertyId) — mirrors the
+    * reference's row-at-a-time updateBalance with the freeze rules:
+    * freeze moves the CURRENT available to frozen (snapshot), credits
+    * while frozen land in frozen instead of available, unfreeze returns
+    * the frozen pot to available.
+    */
+  private def foldKey(addr: String, pid: Long, entries: Seq[LedgerEntry],
+      marks: Seq[FreezeEvent]): AddressBalance = {
+    var available = 0L; var reserved = 0L; var accepted = 0L
+    var frozen = 0L; var isFrozen = false; var last = 0L
+
+    val events: Seq[Either[LedgerEntry, FreezeEvent]] =
+      (entries.map(Left(_)) ++ marks.map(Right(_))).sortBy {
+        // Freeze marker of serial s applies AFTER the tx's own ledger
+        // rows at s (the reference reads the balance as-of the freeze
+        // tx's processing point, sql.py:2344-2356).
+        case Left(e) => (e.txDbSerialNum, 0, e.addressTxIndex)
+        case Right(f) => (f.txDbSerialNum, 1, 0)
+      }
+    events.foreach {
+      case Left(e) =>
+        if (isFrozen && e.availableDelta > 0) frozen += e.availableDelta
+        else available += e.availableDelta
+        reserved += e.reservedDelta
+        accepted += e.acceptedDelta
+        frozen += e.frozenDelta
+        last = math.max(last, e.txDbSerialNum)
+      case Right(f) =>
+        if (f.freeze && !isFrozen) {
+          frozen += available; available = 0; isFrozen = true
+        } else if (!f.freeze && isFrozen) {
+          available += frozen; frozen = 0; isFrozen = false
+        }
+        last = math.max(last, f.txDbSerialNum)
+    }
+    AddressBalance(addr, pid, available, reserved, accepted, frozen,
+      last, isFrozen)
+  }
+
+  /** A2 — after-balance snapshots: the same cumulative sum evaluated at
+    * every ledger row via a window — one shuffle on (address,
+    * propertyId), sort by serial within partitions.
+    */
+  def afterBalances(ledger: Dataset[LedgerEntry]): org.apache.spark.sql.DataFrame = {
+    val spark = ledger.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"address", $"propertyId")
+      .orderBy($"txDbSerialNum", $"addressTxIndex")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ledger
+      .withColumn("afterAvailable", sum($"availableDelta").over(w))
+      .withColumn("afterReserved", sum($"reservedDelta").over(w))
+      .withColumn("afterAccepted", sum($"acceptedDelta").over(w))
+      .withColumn("afterFrozen", sum($"frozenDelta").over(w))
+  }
+}

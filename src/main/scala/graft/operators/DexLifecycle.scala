@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+import graft.model._
+import graft.model.Amounts.toBase
+import graft.model.Roles._
+
+/** DEx (coin-for-token) order-book lifecycle — reference
+  * sql.py:704-794 (updatedex), :645-702 (offerAccept), :590-643
+  * (updateAccept), :537-588 (expireAccepts).
+  *
+  * An accept binds to the seller's THEN-ACTIVE offer; a replaced offer
+  * refunds its unaccepted remainder; accepts expire at
+  * `timelimit + acceptBlock`; purchases settle reserved/accepted into
+  * the buyer's available — all order-dependent per
+  * (seller, propertyIdSelling), so: ONE `flatMapGroups` fold per key,
+  * events sorted by serial (SURVEY §7.4.2). Keys are independent —
+  * the fold shuffles once on the seller/pair key and parallelizes
+  * across sellers; group sizes are the per-seller offer history, tiny
+  * relative to total volume at any scale.
+  *
+  * Outputs: final [[ActiveOffer]]/[[OfferAccept]] states plus the
+  * SYNTHETIC ledger entries for every balance effect (reserve, refund,
+  * accept-hold, purchase settlement, expiry return) — which then flow
+  * into [[Balances.derive]] like any other facts.
+  */
+object DexLifecycle {
+
+  final case class DexResult(offers: Seq[ActiveOffer],
+      accepts: Seq[OfferAccept], ledger: Seq[LedgerEntry])
+
+  /** Fold all DEx txs (types 20/22/-22). `tipBlock` drives the final
+    * expiry sweep (reference runs expireAccepts per block; processing
+    * events in serial order and sweeping at each event's block is
+    * equivalent because expiry effects only need to precede the next
+    * event that could observe them).
+    */
+  def derive(txs: Dataset[(RawTx, Long)], tipBlock: Long): Dataset[DexResult] = {
+    val spark = txs.sparkSession
+    import spark.implicits._
+    txs
+      .filter(t => t._1.type_int == 20 || t._1.type_int == 22 ||
+        t._1.type_int == -22)
+      .groupByKey { case (tx, _) =>
+        val pid = if (tx.type_int == -22)
+          tx.purchases.headOption.map(_.propertyid).getOrElse(tx.propertyid)
+        else tx.propertyid
+        // 22 accepts and -22 purchases are sent BY the buyer TO the
+        // seller — the fold key is always the seller's address.
+        val seller = tx.type_int match {
+          case -22 => tx.purchases.headOption.map(_.referenceaddress)
+            .getOrElse(tx.sendingaddress)
+          case 22 => tx.referenceaddress.getOrElse(tx.sendingaddress)
+          case _ => tx.sendingaddress
+        }
+        (seller, pid)
+      }
+      .mapGroups { (key: (String, Long), it: Iterator[(RawTx, Long)]) =>
+        foldKey(key._1, key._2, it.toSeq.sortBy(_._2), tipBlock)
+      }
+  }
+
+  /** Sequential fold of one (seller, propertyIdSelling) order-book
+    * history. Mirrors the reference's per-tx handlers exactly; see the
+    * per-case citations.
+    */
+  def foldKey(seller: String, pid: Long, events: Seq[(RawTx, Long)],
+      tipBlock: Long): DexResult = {
+    var offer: Option[ActiveOffer] = None
+    val doneOffers = Seq.newBuilder[ActiveOffer]
+    var accepts = Map.empty[String, OfferAccept] // open, by buyer
+    val doneAccepts = Seq.newBuilder[OfferAccept]
+    val ledger = Seq.newBuilder[LedgerEntry]
+    var idx = Map.empty[Long, Int] // addressTxIndex per serial
+
+    def row(serial: Long, addr: String, role: String, avail: Long = 0,
+        reserved: Long = 0, accepted: Long = 0, linked: Long = 0): Unit = {
+      val i = idx.getOrElse(serial, 0)
+      idx += serial -> (i + 1)
+      ledger += LedgerEntry(addr, pid, "Omni", serial, i, role,
+        avail, reserved, accepted, 0, linked)
+    }
+
+    /** Expiry sweep (sql.py:537-588): unpaid/partial accepts whose
+      * expireBlock has passed release their accepted hold back to the
+      * offer; if the offer is gone ('replaced'/'cancelled'), the seller
+      * gets the reserve back directly.
+      */
+    def expire(block: Long): Unit = {
+      val (dead, live) = accepts.partition(_._2.expireBlock < block)
+      accepts = live
+      dead.values.foreach { a =>
+        val back = a.amountAccepted
+        if (back > 0) offer match {
+          case Some(o) if o.offerState == "active" =>
+            offer = Some(o.copy(amountAccepted = o.amountAccepted - back,
+              amountAvailable = o.amountAvailable + back))
+            row(a.acceptTxDbSerialNum, seller, Seller, accepted = -back,
+              linked = a.saleTxDbSerialNum)
+          case _ =>
+            row(a.acceptTxDbSerialNum, seller, Seller, avail = back,
+              reserved = -back, accepted = -back,
+              linked = a.saleTxDbSerialNum)
+        }
+        doneAccepts += a.copy(dexState =
+          if (a.amountPurchased > 0) "paid-partial-expired" else "expired")
+      }
+    }
+
+    /** Close the open offer, refunding the unaccepted remainder
+      * (sql.py:762-772).
+      */
+    def closeOffer(state: String, serial: Long): Unit = offer.foreach { o =>
+      val refund = o.amountAvailable
+      if (refund > 0)
+        row(serial, seller, Seller, avail = refund, reserved = -refund,
+          linked = o.createTxDbSerialNum)
+      doneOffers += o.copy(offerState = state, amountAvailable = 0,
+        lastTxDbSerialNum = serial)
+      offer = None
+    }
+
+    events.foreach { case (tx, serial) =>
+      expire(tx.block)
+      tx.type_int match {
+        // New/update/cancel sell offer (sql.py:704-794).
+        case 20 if tx.valid =>
+          val amt = toBase(tx.amount, tx.divisible)
+          tx.subaction match {
+            case 3 => closeOffer("cancelled", serial)
+            case sub =>
+              if (offer.isDefined) closeOffer("replaced", serial)
+              if (amt > 0) {
+                row(serial, seller, Seller, avail = -amt, reserved = amt)
+                val price =
+                  if (amt == 0) BigDecimal(0)
+                  else (toBase(tx.bitcoindesired, divisible = true) * BigDecimal(100000000) /
+                    BigDecimal(amt)).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+                offer = Some(ActiveOffer(seller, pid, 0, amt, amt, 0,
+                  toBase(tx.bitcoindesired, divisible = true), tx.timelimit,
+                  price, "active", serial, serial))
+              }
+          }
+
+        // Accept (sql.py:645-702): hold amount on the then-active offer,
+        // clamped to what's still available; expiry at timelimit+block.
+        case 22 =>
+          offer match {
+            case Some(o) if tx.valid =>
+              val want = toBase(tx.amount, tx.divisible)
+              val got = math.min(want, o.amountAvailable)
+              if (got > 0) {
+                offer = Some(o.copy(amountAvailable = o.amountAvailable - got,
+                  amountAccepted = o.amountAccepted + got,
+                  lastTxDbSerialNum = serial))
+                row(serial, tx.sendingaddress, Buyer,
+                  linked = o.createTxDbSerialNum)
+                row(serial, seller, Seller, accepted = got,
+                  linked = o.createTxDbSerialNum)
+                accepts += tx.sendingaddress -> OfferAccept(
+                  tx.sendingaddress, seller, pid, got, 0,
+                  o.createTxDbSerialNum, serial, tx.block,
+                  o.timeLimit + tx.block, "unpaid")
+              } else doneAccepts += OfferAccept(tx.sendingaddress, seller,
+                pid, 0, 0, o.createTxDbSerialNum, serial, tx.block,
+                tx.block, "invalid")
+            case _ =>
+              doneAccepts += OfferAccept(tx.sendingaddress, seller, pid,
+                0, 0, 0, serial, tx.block, tx.block, "invalid")
+          }
+
+        // BTC payment → purchase (sql.py:1966-2030, :590-643): move
+        // bought amount seller(reserved+accepted)→buyer(available).
+        case -22 =>
+          tx.purchases.filter(_.valid).foreach { p =>
+            accepts.get(tx.sendingaddress).foreach { a =>
+              val bought = math.min(toBase(p.amountbought, tx.divisible),
+                a.amountAccepted - a.amountPurchased)
+              if (bought > 0) {
+                row(serial, seller, Seller, reserved = -bought,
+                  accepted = -bought, linked = a.saleTxDbSerialNum)
+                row(serial, tx.sendingaddress, Buyer, avail = bought,
+                  linked = a.saleTxDbSerialNum)
+                val a2 = a.copy(amountPurchased = a.amountPurchased + bought,
+                  dexState = if (a.amountPurchased + bought >= a.amountAccepted)
+                    "paid-complete" else "paid-partial")
+                offer = offer.map(o => o.copy(
+                  amountAccepted = o.amountAccepted - bought,
+                  totalSelling = o.totalSelling - bought,
+                  lastTxDbSerialNum = serial))
+                if (a2.dexState == "paid-complete") {
+                  accepts -= tx.sendingaddress; doneAccepts += a2
+                } else accepts += tx.sendingaddress -> a2
+                // Offer fully sold when nothing available nor accepted
+                // (sql.py:613-619).
+                offer.foreach { o =>
+                  if (o.amountAvailable == 0 && o.amountAccepted == 0) {
+                    doneOffers += o.copy(offerState = "sold",
+                      lastTxDbSerialNum = serial)
+                    offer = None
+                  }
+                }
+              }
+            }
+          }
+        case _ => ()
+      }
+    }
+    expire(tipBlock + 1)
+    offer.foreach(o => doneOffers += o)
+    accepts.values.foreach(doneAccepts += _)
+    DexResult(doneOffers.result(), doneAccepts.result(), ledger.result())
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.model.Amounts.toBase
+
+/** MetaDEx (token-for-token) trade settlement — reference
+  * sql.py:2032-2127 + updatedex2 :797-861 + insertMatch :872-883 +
+  * updatedex2remaining :977-1011.
+  *
+  * The decoder already reserves the for-sale amount row-locally; this
+  * operator settles matches. A match is listed on BOTH sides by the
+  * node; the reference's dedup guard (sql.py:2063-2069) applies it only
+  * on the later tx — here: join each match's txid to its serial and keep
+  * `matchSerial < txSerial`. That's an equi-join on txid + inequality
+  * filter — fully relational, one shuffle, no sequential region.
+  */
+object MetaDexOps {
+
+  /** Returns (MatchedTrades, settlement ledger entries). Settlement per
+    * deduped match (4 rows, sql.py:2078-2101): sold amount moves
+    * taker-reserved→maker-available, received amount moves
+    * maker-reserved→taker-available (fee recorded on the trade row,
+    * deducted from the received leg as in the reference).
+    */
+  def derive(txs: Dataset[(RawTx, Long)]): (Dataset[MatchedTrade], Dataset[LedgerEntry]) = {
+    val spark = txs.sparkSession
+    import spark.implicits._
+
+    val metaTxs = txs.filter(t =>
+      (t._1.type_int == 21 || t._1.type_int == 25) && t._1.valid)
+
+    val serialByTxid = metaTxs
+      .map { case (tx, s) => (tx.txid, s) }
+      .toDF("mTxid", "mSerial")
+
+    val exploded = metaTxs.flatMap { case (tx, serial) =>
+      tx.matches.map { m =>
+        MatchRow(serial, tx.txid, tx.sendingaddress, tx.propertyid,
+          tx.propertyiddesired, tx.block, m.txid, m.address,
+          toBase(m.amountsold, tx.divisible),
+          toBase(m.amountreceived, tx.desireddivisible),
+          toBase(m.tradingfee, tx.desireddivisible))
+      }
+    }
+
+    val deduped = exploded
+      .join(serialByTxid, $"matchTxid" === $"mTxid")
+      .where($"mSerial" < $"serial")
+      .drop("mTxid", "mSerial")
+      .as[MatchRow]
+
+    val trades = deduped.map { r =>
+      MatchedTrade(r.serial, r.txid, r.pidSold, r.pidRecv, r.amountSold,
+        r.amountReceived, r.block, r.fee, r.matchTxid)
+    }
+
+    val ledger = deduped.flatMap { r =>
+      Seq(
+        LedgerEntry(r.taker, r.pidSold, "Omni", r.serial, 0,
+          Roles.Seller, 0, -r.amountSold, 0, 0, 0),
+        LedgerEntry(r.maker, r.pidSold, "Omni", r.serial, 1,
+          Roles.Buyer, r.amountSold, 0, 0, 0, 0),
+        LedgerEntry(r.maker, r.pidRecv, "Omni", r.serial, 2,
+          Roles.Seller, 0, -r.amountReceived, 0, 0, 0),
+        LedgerEntry(r.taker, r.pidRecv, "Omni", r.serial, 3,
+          Roles.Buyer, r.amountReceived - r.fee, 0, 0, 0, 0))
+    }
+    (trades, ledger)
+  }
+
+  /** Open remaining per trade offer (updatedex2remaining
+    * sql.py:977-1011): reserve − sold-as-taker − delivered-as-maker.
+    * Pure aggregation over the deduped matches against the reserve.
+    */
+  def remaining(txs: Dataset[(RawTx, Long)]): Dataset[MetaRemaining] = {
+    val spark = txs.sparkSession
+    import spark.implicits._
+    val metaTxs = txs.filter(t =>
+      (t._1.type_int == 21 || t._1.type_int == 25) && t._1.valid)
+    val offers = metaTxs.map { case (tx, s) =>
+      (s, tx.txid, tx.sendingaddress, tx.propertyid, tx.propertyiddesired,
+        toBase(tx.amount, tx.divisible))
+    }.toDF("serial", "txid", "seller", "pidSold", "pidRecv", "reserve")
+
+    val serialByTxid = metaTxs.map { case (tx, s) => (tx.txid, s) }
+      .toDF("mTxid", "mSerial")
+    val matchesRaw = metaTxs.flatMap { case (tx, serial) =>
+      tx.matches.map(m => (serial, m.txid,
+        toBase(m.amountsold, tx.divisible),
+        toBase(m.amountreceived, tx.desireddivisible)))
+    }.toDF("serial", "matchTxid", "sold", "received")
+    val deduped = matchesRaw
+      .join(serialByTxid, $"matchTxid" === $"mTxid")
+      .where($"mSerial" < $"serial")
+
+    val soldAsTaker = deduped.groupBy($"serial".as("tSerial"))
+      .agg(sum($"sold").as("takerSold"))
+    val soldAsMaker = deduped.groupBy($"mSerial".as("kSerial"))
+      .agg(sum($"received").as("makerSold"))
+
+    offers
+      .join(soldAsTaker, $"serial" === $"tSerial", "left")
+      .join(soldAsMaker, $"serial" === $"kSerial", "left")
+      .select($"serial", $"txid", $"seller", $"pidSold", $"pidRecv",
+        $"reserve",
+        ($"reserve" - coalesce($"takerSold", lit(0L)) -
+          coalesce($"makerSold", lit(0L))).as("remaining"))
+      .as[MetaRemaining]
+  }
+
+  final case class MatchRow(serial: Long, txid: String, taker: String,
+      pidSold: Long, pidRecv: Long, block: Long, matchTxid: String,
+      maker: String, amountSold: Long, amountReceived: Long, fee: Long)
+
+  final case class MetaRemaining(serial: Long, txid: String,
+      seller: String, pidSold: Long, pidRecv: Long, reserve: Long,
+      remaining: Long)
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+
+/** End-to-end derivation: raw decoded txs → serial-stamped facts →
+  * ledger → every derived table (SURVEY.md §7.1 "facts → derivations →
+  * serving views").
+  *
+  * Reorg (reference sql.py:85-218 reorgRollback, 134 LoC of inverse
+  * operators) is [[truncate]] + re-run — the payoff of immutable facts:
+  * state(fork) ≡ derive(facts ≤ fork), byte-for-byte (asserted by
+  * ReorgSpec).
+  */
+object OmniPipeline {
+
+  final case class Derived(
+      txs: Dataset[(RawTx, Long)],
+      ledger: Dataset[LedgerEntry],
+      balances: Dataset[AddressBalance],
+      offers: Dataset[ActiveOffer],
+      accepts: Dataset[OfferAccept],
+      trades: Dataset[MatchedTrade],
+      properties: Dataset[SmartProperty])
+
+  /** Deterministic serial assignment (W1): total order by
+    * (block, positioninblock) via range partition + zipWithIndex —
+    * never a single-partition window (SURVEY §7.4.6).
+    */
+  def withSerials(txs: Dataset[RawTx]): Dataset[(RawTx, Long)] = {
+    val spark = txs.sparkSession
+    implicit val enc: Encoder[(RawTx, Long)] =
+      Encoders.tuple(txs.encoder, Encoders.scalaLong)
+    val sorted = txs
+      .repartitionByRange(col("block"), col("positioninblock"), col("txid"))
+      .sortWithinPartitions(col("block"), col("positioninblock"), col("txid"))
+    spark.createDataset(
+      sorted.rdd.zipWithIndex.map { case (tx, i) => (tx, i + 1L) })
+  }
+
+  def derive(txs: Dataset[RawTx], tipBlock: Long): Derived = {
+    val spark = txs.sparkSession
+    import spark.implicits._
+
+    val stamped = withSerials(txs)
+
+    val baseLedger = stamped.flatMap { case (tx, s) =>
+      LedgerDecoder.decode(tx, s)
+    }
+    val dex = DexLifecycle.derive(stamped, tipBlock)
+    val dexLedger = dex.flatMap(_.ledger)
+    val (trades, metaLedger) = MetaDexOps.derive(stamped)
+
+    val ledger = baseLedger.union(dexLedger).union(metaLedger)
+    val freezes = stamped.flatMap { case (tx, s) =>
+      LedgerDecoder.freezeEvents(tx, s)
+    }
+    val balances = Balances.deriveWithFreezes(ledger, freezes)
+    val offers = dex.flatMap(_.offers)
+    val accepts = dex.flatMap(_.accepts)
+    val properties = PropertyRegistry.derive(stamped)
+
+    Derived(stamped, ledger, balances, offers, accepts, trades, properties)
+  }
+
+  /** M4 — reorg as re-derivation: drop facts past the fork, re-run. */
+  def truncate(txs: Dataset[RawTx], forkBlock: Long): Dataset[RawTx] =
+    txs.filter(_.block <= forkBlock)
+}
+
+/** SmartProperties registry (reference sql.py:1524-1600 insertProperty,
+  * :1485-1501 updateProperty): per-property fold over lifecycle txs
+  * (50/51/54 create, 70 change-issuer) ordered by serial — tiny groups,
+  * one shuffle on propertyid.
+  */
+object PropertyRegistry {
+  def derive(txs: Dataset[(RawTx, Long)]): Dataset[SmartProperty] = {
+    val spark = txs.sparkSession
+    import spark.implicits._
+    txs
+      .filter { case (tx, _) =>
+        tx.valid && Set(50, 51, 54, 70).contains(tx.type_int)
+      }
+      .groupByKey(_._1.propertyid)
+      .mapGroups { (pid, it) =>
+        val events = it.toSeq.sortBy(_._2)
+        val create = events.find(e => e._1.type_int != 70)
+        val (ctx, cserial) = create.getOrElse(events.head)
+        var issuer = ctx.sendingaddress
+        events.foreach {
+          case (tx, _) if tx.type_int == 70 =>
+            issuer = tx.referenceaddress.getOrElse(tx.sendingaddress)
+          case _ => ()
+        }
+        SmartProperty(pid, issuer, ctx.ecosystem, ctx.propertyname,
+          ctx.divisible, managed = ctx.type_int == 54, cserial,
+          events.map(_._2).max)
+      }
+  }
+}

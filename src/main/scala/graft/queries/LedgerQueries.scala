@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables.t
+import graft.model._
+import graft.operators.{Balances, DexLifecycle, LedgerDecoder, OmniPipeline}
+
+/** The domain engine (SURVEY §2.3 ledger state machine + §7.1 pipeline)
+  * driven through the t2 gate: test tables are mapped into RawTx facts,
+  * the REAL decoder → serial stamper → balance derivation runs, and a
+  * purely relational DuckDB query derives the same result — proving the
+  * typed flatMap pipeline is equivalent to its relational semantics at
+  * any scale.
+  */
+object LedgerQueries {
+
+  /** Simple Send (type 0) end-to-end: every order becomes a transfer
+    * customer→merchant; balances = Σ double-entry deltas; serials from
+    * the scalable range-partition stamper must equal the oracle's global
+    * row_number.
+    */
+  val simpleSend = Q(
+    "ledger_simple_send",
+    """WITH ser AS (SELECT o_orderkey, o_custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS units,
+      |    row_number() OVER (ORDER BY o_orderkey) AS serial
+      |  FROM orders),
+      |flows AS (
+      |  SELECT 'C' || CAST(o_custkey AS VARCHAR) AS address,
+      |    -units AS delta, serial FROM ser
+      |  UNION ALL
+      |  SELECT 'M', units, serial FROM ser)
+      |SELECT address, CAST(sum(delta) AS BIGINT) AS available,
+      |  CAST(max(serial) AS BIGINT) AS last_serial
+      |FROM flows GROUP BY 1 ORDER BY address""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val txs = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice" * 100).cast(LongType).as("units"))
+      .as[(Long, Long, Long)]
+      .map { case (ok, ck, units) =>
+        RawTx(txid = f"$ok%016x", protocol = "Omni",
+          sendingaddress = s"C$ck", referenceaddress = Some("M"),
+          type_int = 0, version = 0, valid = true, block = ok,
+          blocktime = 0, positioninblock = 0, propertyid = 31,
+          divisible = false, amount = BigDecimal(units))
+      }
+    val stamped = OmniPipeline.withSerials(txs)
+    val ledger = stamped.flatMap { case (tx, ser) =>
+      LedgerDecoder.decode(tx, ser)
+    }
+    Balances.derive(ledger)
+      .select($"address", $"available",
+        $"lastTxDbSerialNum".as("last_serial"))
+      .orderBy("address")
+  }
+
+  /** Send All (type 4): each order's lineitems become subsends (one
+    * property per part) exploded by the decoder into debit/credit pairs
+    * — per-(address, property) balances checked relationally.
+    */
+  val sendAll = Q(
+    "ledger_send_all",
+    """WITH flows AS (
+      |  SELECT 'C' || CAST(o_custkey AS VARCHAR) AS address,
+      |    l_partkey AS property_id,
+      |    -CAST(round(l_quantity * 100) AS BIGINT) AS delta
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  UNION ALL
+      |  SELECT 'W', l_partkey, CAST(round(l_quantity * 100) AS BIGINT)
+      |  FROM lineitem)
+      |SELECT address, property_id, CAST(sum(delta) AS BIGINT) AS available
+      |FROM flows GROUP BY 1, 2 ORDER BY address, property_id""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val items = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .select($"o_orderkey".as("ok"), $"o_custkey".as("ck"),
+          $"l_partkey".as("pk"),
+          round($"l_quantity" * 100).cast(LongType).as("units"),
+          $"l_linenumber".as("ln"))
+        .as[(Long, Long, Long, Long, Int)]
+      val txs = items.groupByKey(_._1).mapGroups { (ok, it) =>
+        val rows = it.toSeq.sortBy(_._5)
+        val ck = rows.head._2
+        RawTx(txid = f"$ok%016x", protocol = "Omni",
+          sendingaddress = s"C$ck", referenceaddress = Some("W"),
+          type_int = 4, version = 0, valid = true, block = ok,
+          blocktime = 0, positioninblock = 0, propertyid = 0,
+          divisible = false, amount = 0,
+          subsends = rows.map(r =>
+            SubSend(r._3, divisible = false, BigDecimal(r._4))))
+      }
+      val stamped = OmniPipeline.withSerials(txs)
+      val ledger = stamped.flatMap { case (tx, ser) =>
+        LedgerDecoder.decode(tx, ser)
+      }
+      Balances.derive(ledger)
+        .select($"address", $"propertyId".as("property_id"), $"available")
+        .orderBy("address", "property_id")
+  }
+
+  /** Send To Owners (type 3): one STO per nation distributing to its
+    * positive-balance customers — the decoder's recipient-explode path
+    * (the proportional-share math itself is a11_sto_distribution).
+    */
+  val stoDecode = Q(
+    "ledger_sto_decode",
+    """WITH r AS (SELECT c_nationkey AS nk, c_custkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS units
+      |  FROM customer WHERE c_acctbal > 0),
+      |tot AS (SELECT nk, CAST(sum(units) AS BIGINT) AS total
+      |        FROM r GROUP BY 1),
+      |flows AS (
+      |  SELECT 'N' || CAST(nk AS VARCHAR) AS address, -total AS delta
+      |  FROM tot
+      |  UNION ALL
+      |  SELECT 'C' || CAST(c_custkey AS VARCHAR), units FROM r)
+      |SELECT address, CAST(sum(delta) AS BIGINT) AS available
+      |FROM flows GROUP BY 1 ORDER BY address""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val holders = t(s, dir, "customer")
+      .where($"c_acctbal" > 0)
+      .select($"c_nationkey".cast(LongType).as("nk"), $"c_custkey",
+        round($"c_acctbal" * 100).cast(LongType).as("units"))
+      .as[(Long, Long, Long)]
+    val txs = holders.groupByKey(_._1).mapGroups { (nk, it) =>
+      val rs = it.toSeq.sortBy(_._2)
+      RawTx(txid = f"$nk%016x", protocol = "Omni",
+        sendingaddress = s"N$nk", referenceaddress = None, type_int = 3,
+        version = 0, valid = true, block = nk, blocktime = 0,
+        positioninblock = 0, propertyid = 31, divisible = false,
+        amount = BigDecimal(rs.map(_._3).sum),
+        recipients = rs.map(r => StoRecipient(s"C${r._2}", BigDecimal(r._3))))
+    }
+    val stamped = OmniPipeline.withSerials(txs)
+    val ledger = stamped.flatMap { case (tx, ser) =>
+      LedgerDecoder.decode(tx, ser)
+    }
+    Balances.derive(ledger)
+      .where($"propertyId" === 31)
+      .select($"address", $"available")
+      .orderBy("address")
+  }
+
+  /** DEx lifecycle fold at scale (no SQL oracle — the per-key
+    * sequential fold is exactly what relational SQL can't express;
+    * semantics pinned by DexLifecycleSpec). Events become offers
+    * (signup), accepts (purchase), payments (click) per synthetic
+    * seller; output = final offer/accept state census.
+    */
+  val dexFold = Q.noOracle("dex_lifecycle_fold") { (s, dir) =>
+    import s.implicits._
+    val evs = t(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type",
+        round($"value" * 100).cast(LongType).as("cents"),
+        unix_timestamp($"ts").as("sec"))
+      .as[(Long, Long, String, Long, Long)]
+    val txs = evs.flatMap { case (eid, uid, typ, cents, sec) =>
+      val seller = s"S${uid % 5}"
+      val buyer = s"U$uid"
+      val base = RawTx(txid = f"$eid%016x", protocol = "Omni",
+        sendingaddress = seller, referenceaddress = None, type_int = 20,
+        version = 0, valid = true, block = sec / 3600, blocktime = sec,
+        positioninblock = 0, propertyid = 31, divisible = false,
+        amount = BigDecimal(math.max(cents, 1)))
+      typ match {
+        case "signup" => Some(base.copy(subaction = 1,
+          bitcoindesired = BigDecimal(cents / 2 + 1), timelimit = 100))
+        case "purchase" => Some(base.copy(type_int = 22,
+          sendingaddress = buyer, referenceaddress = Some(seller)))
+        case "click" => Some(base.copy(type_int = -22,
+          sendingaddress = buyer, referenceaddress = Some(seller),
+          amount = 0, purchases = Seq(DexPurchase(seller, 31,
+            valid = true, BigDecimal(math.max(cents, 1))))))
+        case _ => None
+      }
+    }
+    val stamped = OmniPipeline.withSerials(txs)
+    val dex = DexLifecycle.derive(stamped, tipBlock = Long.MaxValue / 2)
+    val offers = dex.flatMap(_.offers)
+      .groupBy($"offerState".as("state")).agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("offer"))
+    val accepts = dex.flatMap(_.accepts)
+      .groupBy($"dexState".as("state")).agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("accept"))
+    offers.unionByName(accepts).orderBy("kind", "state")
+  }
+
+  val all: Seq[Q] = Seq(simpleSend, sendAll, stoDecode, dexFold)
+}

@@ -1,0 +1,120 @@
+package graft
+
+import graft.Fixtures._
+import graft.model._
+import graft.operators.{Balances, MetaDexOps, OmniPipeline}
+
+/** End-to-end derivation over a small fixture chain, the freeze
+  * sequencer, MetaDEx dedup, and the reorg invariant (FIXTURES.md §B.3:
+  * derive(truncate(facts, f)) == derive(facts ingested only to f)).
+  */
+class OmniPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val chain: Seq[RawTx] = Seq(
+    grant(A, A, BigDecimal("100"), block = 1, pos = 0),
+    simpleSend(A, B, BigDecimal("10"), block = 2, pos = 0),
+    simpleSend(B, C, BigDecimal("4"), block = 3, pos = 0),
+    simpleSend(A, C, BigDecimal("1"), block = 3, pos = 1),
+    sellOffer(B, BigDecimal("2"), BigDecimal("1"), timeLimit = 10,
+      block = 4, pos = 0),
+    accept(C, B, BigDecimal("2"), block = 5, pos = 0),
+    purchase(C, B, BigDecimal("2"), block = 6, pos = 0),
+    simpleSend(C, D, BigDecimal("0.5"), block = 7, pos = 0))
+
+  private def balancesMap(txs: Seq[RawTx], tip: Long): Map[(String, Long), (Long, Long, Long)] = {
+    val d = OmniPipeline.derive(spark.createDataset(txs), tip)
+    d.balances.collect()
+      .map(b => (b.address, b.propertyId) ->
+        ((b.available, b.reserved, b.accepted)))
+      .toMap
+  }
+
+  test("end-to-end balances across send/dex chain") {
+    val m = balancesMap(chain, tip = 8)
+    assert(m((A, 31L)) == ((8900000000L, 0L, 0L)))   // 100 - 10 - 1
+    assert(m((B, 31L)) == ((400000000L, 0L, 0L)))    // 10 - 4 - 2(sold)
+    assert(m((C, 31L)) == ((650000000L, 0L, 0L)))    // 4 + 1 + 2 - 0.5
+    assert(m((D, 31L)) == ((50000000L, 0L, 0L)))
+    // conservation: total available == granted 100
+    assert(m.values.map(_._1).sum == 10000000000L)
+  }
+
+  test("reorg: truncate + re-derive == fresh ingest to fork (M4)") {
+    val fork = 4L
+    val all = spark.createDataset(chain)
+    val truncated = OmniPipeline.truncate(all, fork)
+    val fresh = chain.filter(_.block <= fork)
+    val a = balancesMap(truncated.collect().toSeq, fork)
+    val b = balancesMap(fresh, fork)
+    assert(a == b)
+    // and the fork state differs from the tip state (rollback is real)
+    assert(a != balancesMap(chain, 8))
+  }
+
+  test("serials are deterministic and dense in (block, pos) order") {
+    val stamped = OmniPipeline
+      .withSerials(spark.createDataset(chain).repartition(7))
+      .collect().sortBy(_._2)
+    assert(stamped.map(_._2).toSeq == (1L to chain.size).toSeq)
+    assert(stamped.map(t => (t._1.block, t._1.positioninblock)).toSeq ==
+      stamped.map(t => (t._1.block, t._1.positioninblock)).sortBy(identity).toSeq)
+  }
+
+  test("freeze: snapshot, receive-while-frozen redirect, unfreeze (sql.py:1408-1414)") {
+    val payload31 = "00000000" + "0000001f"
+    val txs = Seq(
+      grant(A, A, BigDecimal("100"), block = 1),
+      simpleSend(A, B, BigDecimal("10"), block = 2),
+      tx(185, A, Some(B), block = 3).copy(payload = payload31),
+      simpleSend(A, B, BigDecimal("5"), block = 4),
+      tx(186, A, Some(B), block = 5).copy(payload = payload31),
+      simpleSend(A, B, BigDecimal("1"), block = 6))
+    val d = OmniPipeline.derive(spark.createDataset(txs), 6)
+    val b = d.balances.collect().map(bb =>
+      (bb.address, bb.propertyId) -> bb).toMap
+    val bob = b((B, 31L))
+    // 10 frozen at block 3; +5 while frozen lands frozen; unfreeze
+    // returns 15; +1 after → available 16, frozen 0
+    assert(bob.available == 1600000000L)
+    assert(bob.frozen == 0L)
+    // during-freeze check: derive only to block 4
+    val mid = OmniPipeline.derive(
+      spark.createDataset(txs.filter(_.block <= 4)), 4)
+    val bobMid = mid.balances.collect()
+      .find(x => x.address == B && x.propertyId == 31L).get
+    assert(bobMid.available == 0L && bobMid.frozen == 1500000000L)
+    assert(bobMid.frozenFlag)
+  }
+
+  test("MetaDEx: both-sides match listing settles exactly once") {
+    val t1 = tx(25, A, None, pid = 31, amount = BigDecimal("10"),
+      block = 10, pos = 0)
+      .copy(propertyiddesired = 32, desireddivisible = true,
+        amountdesired = BigDecimal("5"))
+    val t2 = tx(25, B, None, pid = 32, amount = BigDecimal("5"),
+      block = 10, pos = 1)
+      .copy(propertyiddesired = 31, desireddivisible = true,
+        amountdesired = BigDecimal("10"),
+        matches = Seq(TradeMatch(t1.txid, A, 10, BigDecimal("5"),
+          BigDecimal("10"), BigDecimal("0"))))
+    // t1 also lists the match (the node reports both sides)
+    val t1b = t1.copy(matches = Seq(TradeMatch(t2.txid, B, 10,
+      BigDecimal("10"), BigDecimal("5"), BigDecimal("0"))))
+    val stamped = OmniPipeline.withSerials(
+      spark.createDataset(Seq(t1b, t2)))
+    val (trades, ledger) = MetaDexOps.derive(stamped)
+    // dedup guard: only the later tx's listing settles
+    assert(trades.count() == 1L)
+    val l = ledger.collect()
+    assert(l.length == 4)
+    // B (taker) sold 5 of pid 32 from reserve; A received it
+    val sold = l.filter(e => e.propertyId == 32L)
+    assert(sold.map(_.reservedDelta).sum == -500000000L)
+    assert(sold.map(_.availableDelta).sum == 500000000L)
+    // remaining: both fully matched → 0
+    val rem = MetaDexOps.remaining(stamped).collect()
+      .map(r => r.seller -> r.remaining).toMap
+    assert(rem(A) == 0L && rem(B) == 0L)
+  }
+}
