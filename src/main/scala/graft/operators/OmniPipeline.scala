@@ -15,6 +15,8 @@ import graft.model._
   */
 object OmniPipeline {
 
+  private var lastStamperCache: Option[org.apache.spark.rdd.RDD[_]] = None
+
   final case class Derived(
       txs: Dataset[(RawTx, Long)],
       ledger: Dataset[LedgerEntry],
@@ -28,15 +30,32 @@ object OmniPipeline {
     * (block, positioninblock) via range partition + zipWithIndex —
     * never a single-partition window (SURVEY §7.4.6).
     */
-  def withSerials(txs: Dataset[RawTx]): Dataset[(RawTx, Long)] = {
+  def withSerials(txs: Dataset[RawTx]): Dataset[(RawTx, Long)] =
+    stamp(txs, col("block"), col("positioninblock"), col("txid"))
+
+  /** Generic serial stamper — stamp the NARROWEST dataset available
+    * (e.g. key tuples) and join/map the wide rows afterwards: the
+    * sample and count passes then move only a few columns.
+    */
+  def stamp[T](txs: Dataset[T], order: org.apache.spark.sql.Column*): Dataset[(T, Long)] = {
     val spark = txs.sparkSession
-    implicit val enc: Encoder[(RawTx, Long)] =
+    implicit val enc: Encoder[(T, Long)] =
       Encoders.tuple(txs.encoder, Encoders.scalaLong)
     val sorted = txs
-      .repartitionByRange(col("block"), col("positioninblock"), col("txid"))
-      .sortWithinPartitions(col("block"), col("positioninblock"), col("txid"))
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+    // zipWithIndex runs a count job before the data pass — cache the
+    // sorted RDD so the shuffle+sort executes once, not twice. Only one
+    // stamper cache is live at a time (released on the next call), so
+    // repeated pipeline runs in one session don't accumulate memory.
+    val rdd = sorted.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    OmniPipeline.synchronized {
+      lastStamperCache.foreach(_.unpersist(blocking = false))
+      lastStamperCache = Some(rdd)
+    }
     spark.createDataset(
-      sorted.rdd.zipWithIndex.map { case (tx, i) => (tx, i + 1L) })
+      rdd.zipWithIndex.map { case (tx, i) => (tx, i + 1L) })
   }
 
   def derive(txs: Dataset[RawTx], tipBlock: Long): Derived = {

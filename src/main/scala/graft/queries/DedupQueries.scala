@@ -78,6 +78,9 @@ object DedupQueries {
       .where(size(col("arr")) >= 3)
       .select(col("doc_id"),
         explode(expr(shingleSparkExpr)).as("shingle"))
+      // reused 4× downstream (hash, counts, both sides of the shared
+      // join) — persist so the explode runs once
+      .persist()
 
   private val shingledSql =
     """arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM corpus

