@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd integer dot product over two ARRAY<BIGINT> columns.
+  *
+  * The composable form — `aggregate(zip_with(a, b, (x,y) -> x*y), 0L,
+  * (acc,v) -> acc+v)` — materializes the intermediate product array and
+  * walks two lambda closures per element. This expression compiles to a
+  * single fused loop inside whole-stage codegen (preference order (b) of
+  * the build brief: a native Expression with doGenCode beats a UDF).
+  * Semantics match the composable form on equal-length arrays; on
+  * mismatched lengths it dots the common prefix.
+  */
+case class LongArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_ldot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+        |long $s = 0L;
+        |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $s += $x.getLong($i) * $y.getLong($i);
+        |}
+        |${ev.value} = $s;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongArrayDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration for graft's native functions. Sessions created
+  * by the driver don't carry extensions, so queries call [[register]]
+  * idempotently before using `graft_ldot(...)` in expressions.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ldot",
+      (exprs: Seq[Expression]) => LongArrayDot(exprs.head, exprs(1)),
+      "built-in")
+}

@@ -20,14 +20,15 @@ import graft.Tables.t
 object SimilarityQueries {
 
   /** vec_id, label, q (bigint[64]), nq (‖q‖², bigint). */
-  private def quantized(s: SparkSession, dir: String): DataFrame =
+  private def quantized(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
           .as("q"))
-      .withColumn("nq",
-        expr("aggregate(transform(q, x -> x * x), 0L, (acc, v) -> acc + v)"))
+      .withColumn("nq", expr("graft_ldot(q, q)"))
       .where(col("nq") > 0)
+  }
 
   private val quantizedSql =
     """qv AS (
@@ -40,8 +41,8 @@ object SimilarityQueries {
       |    CAST(list_dot_product(q, q) AS BIGINT) AS nq
       |  FROM qv WHERE list_dot_product(q, q) > 0)""".stripMargin
 
-  private val sparkDot =
-    "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+  // codegen'd native expression (graft.functions.LongArrayDot)
+  private val sparkDot = "graft_ldot(qa, qb)"
   private val cosMicros =
     "cast(floor(1000000.0 * dot / sqrt(cast(na as double) * cast(nb as double))) as bigint)"
 
@@ -102,8 +103,7 @@ object SimilarityQueries {
     val probes = base.where(col("vec_id") < 4)
       .select(col("vec_id").as("pid"), col("q").as("pq"))
     base.crossJoin(broadcast(probes))
-      .withColumn("pdot",
-        expr("aggregate(zip_with(q, pq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("pdot", expr("graft_ldot(q, pq)"))
       .groupBy("vec_id", "label", "nq")
       .agg(sum(when(col("pdot") > 0, expr("1 << pid")).otherwise(0L))
         .cast(LongType).as("bucket"),
