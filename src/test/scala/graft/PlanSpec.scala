@@ -1,0 +1,75 @@
+package graft
+
+import graft.queries.{AggQueries, JoinQueries, ScalarQueries}
+
+/** Physical-plan assertions — the plans we WANT, not just plans that
+  * pass: broadcast joins stay broadcast, filters reach the parquet scan,
+  * top-k never globally sorts, hot paths stay inside whole-stage
+  * codegen. Regressions here are performance bugs even when results
+  * stay correct.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: graft.queries.Q): String =
+    q.run(spark, dir).queryExecution.executedPlan.toString
+
+  test("J2: dimension join is a BroadcastHashJoin, fact side not shuffled for the join") {
+    val p = plan(JoinQueries.j2)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("J9: both geography dims broadcast") {
+    val p = plan(JoinQueries.j9)
+    assert(p.split("BroadcastHashJoin").length >= 3)
+  }
+
+  test("J1: status filter is pushed to the orders parquet scan") {
+    val df = JoinQueries.j1.run(spark, dir)
+    val scans = df.queryExecution.executedPlan.toString
+    assert(scans.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)")
+      || scans.contains("EqualTo(o_orderstatus,F)"))
+  }
+
+  test("P3: scan reads only the projected columns (column pruning)") {
+    val p = plan(ScalarQueries.p3)
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("p_partkey"))
+    assert(readSchema.contains("p_retailprice"))
+    assert(!readSchema.contains("p_name"))
+    assert(!readSchema.contains("p_brand"))
+  }
+
+  test("O1: order+limit plans as TakeOrdered, not a global sort") {
+    val p = plan(JoinQueries.o1)
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("A1: running-balance window shuffles once on the key and is codegen'd around") {
+    val df = AggQueries.a1.run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = p.split("Exchange hashpartitioning").length - 1
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+    // AQE finalizes codegen annotations only after THIS df's plan runs
+    // (count() would be a different query execution)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    // codegen stages print as "*(n)" operator prefixes
+    assert(finalPlan.contains("*(") && finalPlan.contains("isFinalPlan=true"),
+      s"no whole-stage codegen span in:\n$finalPlan")
+  }
+
+  test("A5: conditional aggregation is a single scan with partial aggregation") {
+    val p = plan(AggQueries.a5)
+    assert(p.split("HashAggregate").length - 1 >= 2) // partial + final
+    assert(p.split("FileScan|BatchScan").length - 1 == 1)
+  }
+
+  test("A11: no single-partition global window on the data path (total is broadcast)") {
+    val p = plan(AggQueries.a11)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+}
