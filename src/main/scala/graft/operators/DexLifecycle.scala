@@ -90,7 +90,9 @@ object DexLifecycle {
       val (dead, live) = accepts.partition(_._2.expireBlock < block)
       accepts = live
       dead.values.foreach { a =>
-        val back = a.amountAccepted
+        // only the un-purchased remainder of the hold returns
+        // (sql.py:555-560 credits amountaccepted less what was bought)
+        val back = a.amountAccepted - a.amountPurchased
         if (back > 0) offer match {
           case Some(o) if o.offerState == "active" =>
             offer = Some(o.copy(amountAccepted = o.amountAccepted - back,
@@ -146,7 +148,9 @@ object DexLifecycle {
         // clamped to what's still available; expiry at timelimit+block.
         case 22 =>
           offer match {
-            case Some(o) if tx.valid =>
+            // a buyer with an open accept can't accept again until it
+            // settles or expires (duplicate accepts are invalid)
+            case Some(o) if tx.valid && !accepts.contains(tx.sendingaddress) =>
               val want = toBase(tx.amount, tx.divisible)
               val got = math.min(want, o.amountAvailable)
               if (got > 0) {
