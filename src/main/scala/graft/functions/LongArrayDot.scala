@@ -74,3 +74,16 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => LongArrayDot(exprs.head, exprs(1)),
       "built-in")
 }
+
+/** SparkSessionExtensions entry point — for sessions the library owns:
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ldot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LongArrayDot].getCanonicalName, "graft_ldot"),
+      (exprs: Seq[Expression]) => LongArrayDot(exprs.head, exprs(1))))
+}
