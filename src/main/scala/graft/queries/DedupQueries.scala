@@ -134,10 +134,17 @@ object DedupQueries {
   }
 
   /** MinHash + LSH near-dup detection, the 100-TB-scale path:
-    * shingle → 8 md5-keyed minhashes per doc → 4 bands of 2 → candidate
-    * pairs via equi-join on (band, signature) → exact Jaccard verify on
-    * candidates only. No quadratic stage anywhere: the join key is the
-    * band signature, and verification touches only banded candidates.
+    * shingle → 8 minhash permutations per doc → 4 bands of 2 →
+    * candidate pairs via equi-join on (band, signature) → exact Jaccard
+    * verify on candidates only. No quadratic stage anywhere: the join
+    * key is the band signature, and verification touches only banded
+    * candidates (semi-joined shingle set).
+    *
+    * Permutation hashes are 8 independent md5-keyed 60-bit hashes.
+    * (Two rejected "optimizations", both measured: a linear h1+k·h2
+    * scheme correlates the per-permutation minima and explodes the
+    * candidate set; md5∥sha256 slices are independent but bench slower
+    * cold than 8 md5s on this JVM.)
     */
   val minhashLsh = Q(
     "dedup_minhash_lsh",
@@ -158,11 +165,13 @@ object DedupQueries {
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |cids AS (SELECT id_a AS cid FROM cand UNION SELECT id_b FROM cand),
+      |shc AS (SELECT * FROM sh WHERE doc_id IN (SELECT cid FROM cids)),
       |shared AS (
       |  SELECT c.id_a, c.id_b, count(*) AS shared
       |  FROM cand c
-      |  JOIN sh sa ON sa.doc_id = c.id_a
-      |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      |  JOIN shc sa ON sa.doc_id = c.id_a
+      |  JOIN shc sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
       |  GROUP BY 1, 2)
       |SELECT s.id_a, s.id_b, s.shared, ca.n AS na, cb.n AS nb,
       |  CAST((1000 * s.shared) // (ca.n + cb.n - s.shared) AS BIGINT) AS jac_millis
@@ -187,10 +196,20 @@ object DedupQueries {
         col("band") === col("band_b") && col("sig") === col("sig_b") &&
           col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      .persist()
+    // EAGER materialization: lazy persist does not deduplicate the three
+    // downstream consumers' CONCURRENT stages — they would race and each
+    // recompute the band pipeline. One count() fills both the cand and
+    // (transitively) the sh cache in a single pass.
+    cand.count()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // shrink the verify join to candidate docs' shingles only
+    val cids = cand.select(col("id_a").as("cid"))
+      .union(cand.select(col("id_b"))).distinct()
+    val shc = sh.join(cids, col("doc_id") === col("cid"), "left_semi")
     val shared = cand
-      .join(sh.toDF("sa_doc", "shingle"), col("id_a") === col("sa_doc"))
-      .join(sh.toDF("sb_doc", "shingle_b"),
+      .join(shc.toDF("sa_doc", "shingle"), col("id_a") === col("sa_doc"))
+      .join(shc.toDF("sb_doc", "shingle_b"),
         col("id_b") === col("sb_doc") && col("shingle") === col("shingle_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
     shared

@@ -189,5 +189,46 @@ object LedgerQueries {
     offers.unionByName(accepts).orderBy("kind", "state")
   }
 
-  val all: Seq[Q] = Seq(simpleSend, sendAll, stoDecode, dexFold)
+  /** BTC UTXO ledger (S4/J5): lineitems are outputs (one per line,
+    * paid to the part's address); each line of order K spends the
+    * same-numbered output of order K−1. The input→prev-output equi-join
+    * replaces the reference's per-input RPC; the oracle derives the
+    * identical flows relationally.
+    */
+  val btcUtxo = Q(
+    "btc_utxo_ledger",
+    """WITH outs AS (
+      |  SELECT l_orderkey AS okey, l_linenumber AS n,
+      |    'P' || CAST(l_partkey AS VARCHAR) AS address,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS sat
+      |  FROM lineitem),
+      |flows AS (
+      |  SELECT address, sat AS delta FROM outs
+      |  UNION ALL
+      |  SELECT prev.address, -prev.sat
+      |  FROM outs cur JOIN outs prev
+      |    ON prev.okey = cur.okey - 1 AND prev.n = cur.n)
+      |SELECT address, CAST(sum(delta) AS BIGINT) AS available,
+      |  count(*) AS n_entries
+      |FROM flows GROUP BY 1 ORDER BY address""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.BtcLedger
+    import graft.operators.BtcLedger.{TxIn, TxOut}
+    val li = t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey",
+        round($"l_quantity" * 100).cast(LongType).as("sat"))
+    val outs = li.as[(Long, Int, Long, Long)].map { case (ok, ln, pk, sat) =>
+      TxOut(f"$ok%016x", ok, ln, s"P$pk", sat)
+    }
+    val ins = li.as[(Long, Int, Long, Long)].map { case (ok, ln, _, _) =>
+      TxIn(f"$ok%016x", ok, f"${ok - 1}%016x", ln)
+    }
+    BtcLedger.derive(outs, ins)
+      .groupBy($"address")
+      .agg(sum($"availableDelta").cast(LongType).as("available"),
+        count(lit(1)).as("n_entries"))
+      .orderBy("address")
+  }
+
+  val all: Seq[Q] = Seq(simpleSend, sendAll, stoDecode, dexFold, btcUtxo)
 }
