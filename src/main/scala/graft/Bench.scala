@@ -12,8 +12,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-footer paths so the first timed query
-    // doesn't absorb one-time session cost.
+    // doesn't absorb one-time session cost. The digest/conv/array-HOF
+    // loop must clear the C2 compile threshold (~10k invocations), hence
+    // the 60k-element synthetic input.
     Tables.names.foreach(n => Tables.t(spark, sfDir, n).count())
+    spark.sql(
+      """SELECT count(DISTINCT h) FROM (
+        |  SELECT min(cast(conv(substring(md5(concat('k:', x)), 1, 15), 16, 10) as bigint))
+        |           OVER (PARTITION BY length(x) ORDER BY x
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+        |  FROM (SELECT explode(transform(sequence(1, 60000),
+        |          i -> concat('w', cast(i AS string)))) AS x))
+        |""".stripMargin).collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
