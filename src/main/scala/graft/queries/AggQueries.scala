@@ -346,6 +346,25 @@ object AggQueries {
       .orderBy("event_id")
   }
 
+  /** Skew-safe aggregation: event_type has a handful of values, so a
+    * plain groupBy funnels everything into ≤5 reducers; the salted
+    * two-stage form ([[graft.operators.SkewedAgg]]) splits each key 16
+    * ways first. Identical result, verified against the plain oracle.
+    */
+  val skew = Q(
+    "skew_salted_agg",
+    """SELECT event_type AS key,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total,
+      |  count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY key""".stripMargin) { (s, dir) =>
+    graft.operators.SkewedAgg
+      .saltedSum(t(s, dir, "events"),
+        col("event_type"), col("event_id"),
+        round(col("value") * 100).cast(LongType), buckets = 16)
+      .select(col("key"), col("total").cast(LongType).as("total"), col("n"))
+      .orderBy("key")
+  }
+
   val all: Seq[Q] =
-    Seq(a1, a10, a4, a5, a6, a7, a8, a9, a11, a12, a14, w6)
+    Seq(a1, a10, a4, a5, a6, a7, a8, a9, a11, a12, a14, w6, skew)
 }
