@@ -88,6 +88,28 @@ object OmniPipeline {
     txs.filter(_.block <= forkBlock)
 }
 
+/** FeatureActivations (reference sql.py:2392-2396 + :1094-1132
+  * checkPendingActivations): latest state per feature — a latest-per-key
+  * view (W4) over activation txs, re-polled state collapses to "the
+  * newest row wins".
+  */
+object FeatureActivations {
+  final case class Activation(featureId: Long, activationBlock: Long,
+      pending: Boolean, lastTxDbSerialNum: Long)
+
+  def derive(txs: Dataset[(RawTx, Long)], tipBlock: Long): Dataset[Activation] = {
+    val spark = txs.sparkSession
+    import spark.implicits._
+    txs
+      .filter { case (tx, _) => tx.type_int == 65534 && tx.valid }
+      .groupByKey(_._1.featureid)
+      .mapGroups { (fid, it) =>
+        val (tx, serial) = it.maxBy(_._2)
+        Activation(fid, tx.block, pending = tx.block > tipBlock, serial)
+      }
+  }
+}
+
 /** SmartProperties registry (reference sql.py:1524-1600 insertProperty,
   * :1485-1501 updateProperty): per-property fold over lifecycle txs
   * (50/51/54 create, 70 change-issuer) ordered by serial — tiny groups,

@@ -87,6 +87,35 @@ class OmniPipelineSpec extends SparkTestBase {
     assert(bobMid.frozenFlag)
   }
 
+  test("A2 after-balances: cumulative snapshot at every ledger row") {
+    val txs = Seq(
+      grant(A, A, BigDecimal("100"), block = 1),
+      simpleSend(A, B, BigDecimal("10"), block = 2),
+      simpleSend(A, B, BigDecimal("5"), block = 3))
+    val d = OmniPipeline.derive(spark.createDataset(txs), 3)
+    val after = graft.operators.Balances.afterBalances(d.ledger)
+      .where(org.apache.spark.sql.functions.col("address") === A)
+      .orderBy("txDbSerialNum", "addressTxIndex")
+      .collect()
+      .map(_.getAs[Long]("afterAvailable"))
+    // A: +100, then −10 → 90, then −5 → 85 (grant emits a 0-delta
+    // issuer metadata row first at serial 1)
+    assert(after.toSeq == Seq(10000000000L, 10000000000L, 9000000000L,
+      8500000000L))
+  }
+
+  test("feature activations: latest state per feature (65534)") {
+    val txs = Seq(
+      tx(65534, A, None, block = 5).copy(featureid = 4),
+      tx(65534, A, None, block = 9).copy(featureid = 4),
+      tx(65534, A, None, block = 30).copy(featureid = 7))
+    val stamped = OmniPipeline.withSerials(spark.createDataset(txs))
+    val acts = graft.operators.FeatureActivations.derive(stamped, tipBlock = 10)
+      .collect().map(a => a.featureId -> a).toMap
+    assert(acts(4L).activationBlock == 9L && !acts(4L).pending)
+    assert(acts(7L).pending)
+  }
+
   test("MetaDEx: both-sides match listing settles exactly once") {
     val t1 = tx(25, A, None, pid = 31, amount = BigDecimal("10"),
       block = 10, pos = 0)
