@@ -230,5 +230,48 @@ object LedgerQueries {
       .orderBy("address")
   }
 
-  val all: Seq[Q] = Seq(simpleSend, sendAll, stoDecode, dexFold, btcUtxo)
+  /** Per-block tx stats via the domain operator (A5, Markets.txStats):
+    * events become txs (one per event, hour-blocks), the operator's
+    * per-block counts + trailing-24h RANGE window checked relationally.
+    */
+  val txStatsDomain = Q(
+    "a5_txstats_domain",
+    """WITH txs AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS block,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |    event_type <> 'error' AS valid
+      |  FROM events),
+      |perblock AS (
+      |  SELECT block, CAST(max(sec) AS BIGINT) AS blockTime,
+      |    count(*) AS txCount,
+      |    count(CASE WHEN valid THEN 1 END) AS validCount,
+      |    count(CASE WHEN NOT valid THEN 1 END) AS invalidCount
+      |  FROM txs GROUP BY 1)
+      |SELECT block, blockTime, txCount, validCount, invalidCount,
+      |  CAST(sum(txCount) OVER w AS BIGINT) AS txCount24h,
+      |  count(*) OVER w AS blockCount24h
+      |FROM perblock
+      |WINDOW w AS (ORDER BY blockTime
+      |  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+      |ORDER BY block""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val txs = t(s, dir, "events")
+      .select(unix_timestamp($"ts").as("sec"),
+        ($"event_type" =!= "error").as("valid"), $"event_id")
+      .as[(Long, Boolean, Long)]
+      .map { case (sec, valid, eid) =>
+        (RawTx(txid = f"$eid%016x", protocol = "Omni",
+          sendingaddress = "X", referenceaddress = None, type_int = 0,
+          version = 0, valid = valid, block = sec / 3600, blocktime = sec,
+          positioninblock = 0, propertyid = 31, divisible = false,
+          amount = BigDecimal(0)), eid)
+      }
+    graft.operators.Markets.txStats(txs)
+      .select($"block", $"blockTime", $"txCount", $"validCount",
+        $"invalidCount", $"txCount24h".cast(LongType).as("txCount24h"),
+        $"blockCount24h")
+      .orderBy("block")
+  }
+
+  val all: Seq[Q] =
+    Seq(simpleSend, sendAll, stoDecode, dexFold, btcUtxo, txStatsDomain)
 }
