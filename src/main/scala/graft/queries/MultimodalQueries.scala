@@ -51,7 +51,7 @@ object MultimodalQueries {
     */
   val decodeBatch = Q.noOracle("mm_decode_batch") { (s, dir) =>
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), expr("encode(text, 'utf-8')").as(("blob")))
+      .select(col("doc_id"), expr("encode(text, 'utf-8')").as("blob"))
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("n_bytes", IntegerType, nullable = false),

@@ -86,6 +86,44 @@ class LedgerDecoderSpec extends AnyFunSuite {
     }
   }
 
+  test("MetaDEx trade (21/25) reserves the for-sale amount row-locally") {
+    val t25 = tx(25, A, None, pid = 31, amount = BigDecimal("2.5"))
+      .copy(propertyiddesired = 32, amountdesired = BigDecimal("5"))
+    val rows = decode(t25)
+    assert(rows.map(r => (r.address, r.availableDelta, r.reservedDelta)) ==
+      Seq((A, -250000000L, 250000000L)))
+  }
+
+  test("MetaDEx cancels (26/27/28) unreserve per cancelled tx") {
+    val t26 = tx(26, A, None, pid = 31, amount = BigDecimal(0))
+      .copy(cancelledtransactions = Seq(
+        CancelledTx("aa", 31, BigDecimal("1")),
+        CancelledTx("bb", 31, BigDecimal("0.5"))))
+    val rows = decode(t26)
+    assert(rows.map(r => (r.availableDelta, r.reservedDelta)) ==
+      Seq((100000000L, -100000000L), (50000000L, -50000000L)))
+  }
+
+  test("metadata-only types (70/73/74/200) emit zero-delta display rows") {
+    Seq(70, 73, 74, 200).foreach { ti =>
+      val rows = decode(tx(ti, A, Some(B)))
+      assert(rows.nonEmpty, s"type $ti")
+      assert(rows.forall(r => r.availableDelta == 0 && r.reservedDelta == 0
+        && r.acceptedDelta == 0 && r.frozenDelta == 0), s"type $ti")
+    }
+    // feature activation has no ledger surface at all
+    assert(decode(tx(65534, A, None).copy(featureid = 3)).isEmpty)
+    // DEx types defer entirely to the lifecycle fold
+    Seq(20, 22, -22).foreach(ti => assert(decode(tx(ti, A, Some(B))).isEmpty))
+  }
+
+  test("close-crowdsale (53) credits addedissuertokens once") {
+    val rows = decode(tx(53, A, None, pid = 55, amount = BigDecimal(0))
+      .copy(addedissuertokens = BigDecimal("12")))
+    assert(rows.map(r => (r.address, r.availableDelta)) ==
+      Seq((A, 1200000000L)))
+  }
+
   test("payload propertyid decode (P5): chars 9..16 as hex") {
     assert(LedgerDecoder.payloadPropertyId("000000c8" + "0000001f") == 31L)
     assert(LedgerDecoder.payloadPropertyId("deadbeef" + "80000003") ==
