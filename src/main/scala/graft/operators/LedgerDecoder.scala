@@ -144,7 +144,12 @@ object LedgerDecoder {
       // Feature activation (65534): FeatureActivations upsert only.
       case 65534 => Nil
 
-      // DEx types are settled by DexLifecycle (see scaladoc above).
+      // DEx types are settled by DexLifecycle (see scaladoc above);
+      // invalid ones still get their display row here (the fold only
+      // processes valid events).
+      case 20 | 22 | -22 if !tx.valid =>
+        Seq(row(tx.sendingaddress, tx.propertyid,
+          if (tx.type_int == 20) Seller else Buyer))
       case 20 | 22 | -22 => Nil
 
       case other =>
