@@ -272,6 +272,54 @@ object LedgerQueries {
       .orderBy("block")
   }
 
-  val all: Seq[Q] =
-    Seq(simpleSend, sendAll, stoDecode, dexFold, btcUtxo, txStatsDomain)
+  /** The flagship serving view through the DOMAIN operators (J9,
+    * SQLstatements.md:15-86): decoder-derived balances ⋈ wallet
+    * membership ⋈ broadcast rates with value projections — the full
+    * facts→derivation→serving path in one oracle-checked query.
+    */
+  val walletServe = Q(
+    "j9_wallet_domain_serve",
+    """WITH bal AS (
+      |  SELECT 'C' || CAST(o_custkey AS VARCHAR) AS address,
+      |    CAST(sum(-CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS available
+      |  FROM orders GROUP BY 1),
+      |wallets AS (
+      |  SELECT 'C' || CAST(c_custkey AS VARCHAR) AS address,
+      |    'W' || CAST(c_nationkey AS VARCHAR) AS walletId
+      |  FROM customer)
+      |SELECT w.walletId, b.address, CAST(31 AS BIGINT) AS propertyId,
+      |  b.available, CAST(b.available * 2.5 AS DOUBLE) AS availableValue
+      |FROM bal b JOIN wallets w ON b.address = w.address
+      |ORDER BY w.walletId, b.address""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.RatesEtl
+    import graft.serving.WalletViews
+    // facts → ledger → balances via the real decoder (debit side only:
+    // the merchant 'M' has no wallet membership and drops in the join)
+    val txs = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice" * 100).cast(LongType).as("units"))
+      .as[(Long, Long, Long)]
+      .map { case (ok, ck, units) =>
+        RawTx(txid = f"$ok%016x", protocol = "Omni",
+          sendingaddress = s"C$ck", referenceaddress = Some("M"),
+          type_int = 0, version = 0, valid = true, block = ok,
+          blocktime = 0, positioninblock = 0, propertyid = 31,
+          divisible = false, amount = BigDecimal(units))
+      }
+    val balances = Balances.derive(
+      txs.flatMap(tx => LedgerDecoder.decode(tx, tx.block)))
+    val wallets = t(s, dir, "customer")
+      .select(concat(lit("C"), $"c_custkey").as("address"),
+        concat(lit("W"), $"c_nationkey").as("walletId"))
+    val rates = s.createDataset(Seq(
+      RatesEtl.Rate("Omni", 31L, "Fiat", 1L, 2.5, 1000L, "fix")))
+    WalletViews.walletBalances(balances, wallets, rates)
+      .select($"walletId", $"address", $"propertyId", $"available",
+        $"availableValue")
+      .orderBy("walletId", "address")
+  }
+
+  val all: Seq[Q] = Seq(simpleSend, sendAll, stoDecode, dexFold, btcUtxo,
+    txStatsDomain, walletServe)
 }
