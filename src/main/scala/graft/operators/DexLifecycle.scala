@@ -93,8 +93,12 @@ object DexLifecycle {
         // only the un-purchased remainder of the hold returns
         // (sql.py:555-560 credits amountaccepted less what was bought)
         val back = a.amountAccepted - a.amountPurchased
+        // the hold returns to the offer it was taken FROM; if that offer
+        // is gone (replaced/cancelled), the seller's balance gets it
+        // directly (reference branches on the sale's state,
+        // sql.py:570-585)
         if (back > 0) offer match {
-          case Some(o) if o.offerState == "active" =>
+          case Some(o) if o.createTxDbSerialNum == a.saleTxDbSerialNum =>
             offer = Some(o.copy(amountAccepted = o.amountAccepted - back,
               amountAvailable = o.amountAvailable + back))
             row(a.acceptTxDbSerialNum, seller, Seller, accepted = -back,
@@ -188,10 +192,15 @@ object DexLifecycle {
                 val a2 = a.copy(amountPurchased = a.amountPurchased + bought,
                   dexState = if (a.amountPurchased + bought >= a.amountAccepted)
                     "paid-complete" else "paid-partial")
-                offer = offer.map(o => o.copy(
-                  amountAccepted = o.amountAccepted - bought,
-                  totalSelling = o.totalSelling - bought,
-                  lastTxDbSerialNum = serial))
+                // adjust offer bookkeeping only if the accept belongs to
+                // the CURRENT offer — a replaced offer's accepts settle
+                // from the seller's reserve without touching the new one
+                offer = offer.map(o =>
+                  if (o.createTxDbSerialNum == a.saleTxDbSerialNum)
+                    o.copy(amountAccepted = o.amountAccepted - bought,
+                      totalSelling = o.totalSelling - bought,
+                      lastTxDbSerialNum = serial)
+                  else o)
                 if (a2.dexState == "paid-complete") {
                   accepts -= tx.sendingaddress; doneAccepts += a2
                 } else accepts += tx.sendingaddress -> a2

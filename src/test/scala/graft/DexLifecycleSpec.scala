@@ -89,6 +89,41 @@ class DexLifecycleSpec extends AnyFunSuite {
     assert(r.offers.head.amountAccepted == 0L)
   }
 
+  test("accept on a replaced offer settles/expires against its own offer, not the new one") {
+    // offer1 → accept(0.4) → replace with offer2 → purchase(0.4): the
+    // settlement must come from the replaced offer's held reserve and
+    // leave offer2's book untouched
+    val settled = fold(Seq(
+      (sellOffer(A, BigDecimal("1"), BigDecimal("1"), timeLimit = 50,
+        block = 100), 1L),
+      (accept(B, A, BigDecimal("0.4"), block = 101), 2L),
+      (sellOffer(A, BigDecimal("3"), BigDecimal("2"), timeLimit = 50,
+        block = 102), 3L),
+      (purchase(B, A, BigDecimal("0.4"), block = 103), 4L)), tip = 110)
+    val o2 = settled.offers.find(_.offerState == "active").get
+    assert(o2.amountAvailable == 300000000L && o2.amountAccepted == 0L)
+    assert(settled.accepts.map(_.dexState) == Seq("paid-complete"))
+    // every avail/reserved movement pairs (reserve, settle, refund)
+    assert(settled.ledger.map(e => e.availableDelta + e.reservedDelta).sum
+      == 0L)
+    // B received exactly the purchased amount
+    assert(settled.ledger.filter(_.address == B)
+      .map(_.availableDelta).sum == 40000000L)
+
+    // same shape but the accept EXPIRES after the replace: hold returns
+    // to the seller's balance (avail+, res-), offer2 untouched
+    val expired = fold(Seq(
+      (sellOffer(A, BigDecimal("1"), BigDecimal("1"), timeLimit = 5,
+        block = 100), 1L),
+      (accept(B, A, BigDecimal("0.4"), block = 101), 2L),
+      (sellOffer(A, BigDecimal("3"), BigDecimal("2"), timeLimit = 500,
+        block = 102), 3L)), tip = 400)
+    val o2b = expired.offers.find(_.offerState == "active").get
+    assert(o2b.amountAvailable == 300000000L && o2b.amountAccepted == 0L)
+    assert(expired.accepts.map(_.dexState).sorted == Seq("expired"))
+    assert(expired.ledger.map(_.acceptedDelta).sum == 0L)
+  }
+
   test("expiry after offer cancelled returns reserve to seller directly") {
     val r = fold(Seq(
       (sellOffer(A, BigDecimal("1"), BigDecimal("1"), timeLimit = 5,
