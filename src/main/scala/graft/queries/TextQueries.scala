@@ -131,5 +131,26 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint)
+  /** Vocabulary builder: global token→frequency table (the first step
+    * of any tokenizer training) — explode + hash-groupBy, map-side
+    * combinable; top terms by (count DESC, token ASC).
+    */
+  val vocabulary = Q(
+    "text_vocabulary",
+    """SELECT token, count(*) AS freq,
+      |  count(DISTINCT doc_id) AS doc_freq
+      |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      |      FROM documents)
+      |GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 200""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("freq"), countDistinct("doc_id").as("doc_freq"))
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(200)
+  }
+
+  val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, vocabulary)
 }
