@@ -14,7 +14,8 @@ object SparkEntry {
   /** All registered queries, in registry order. */
   def registry: Seq[Q] =
     ScalarQueries.all ++ AggQueries.all ++ JoinQueries.all ++
-      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
+      TextQueries.all ++ DedupQueries.all ++ CurationQueries.all ++
+      SimilarityQueries.all ++
       MultimodalQueries.all ++ SourceQueries.all ++ LedgerQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair graph — turns near-duplicate PAIRS
+  * (the output of LSH/Jaccard detection, reference analogue: the
+  * `getFlags` duplicate scan in sql.py) into duplicate CLUSTERS, the
+  * form a training-data pipeline actually consumes ("keep one doc per
+  * component").
+  *
+  * Algorithm: min-label propagation with pointer jumping. Every node
+  * starts labeled with itself; each round a node takes the min of its
+  * own, its neighbors', and its label's label (path halving). The
+  * neighbor step alone needs O(diameter) rounds; the label-of-label
+  * shortcut makes it O(log n), so a 25-round cap covers any realistic
+  * graph (dup clusters are near-cliques; even a pathological chain of
+  * millions converges in ~21 rounds).
+  *
+  * Scale shape per round: one shuffle on `dst` (neighbor labels), one
+  * map-side-combinable min-agg on the node key, one self-join on the
+  * label key — no global operation, no driver-side data. Each round's
+  * result is `localCheckpoint`ed to truncate lineage (without it the
+  * logical plan grows per iteration and Catalyst re-analysis dominates);
+  * on a fault-tolerant cluster run, swap for reliable `checkpoint` with
+  * a checkpoint dir. Convergence is detected with sum(label), which
+  * decreases monotonically under min-propagation, so one scalar agg per
+  * round instead of a changed-rows join.
+  */
+object DedupClusters {
+
+  /** edges: two BIGINT columns (src, dst), undirected (either
+    * orientation). Returns (node, component) for every node incident to
+    * an edge, component = min node id in its connected component.
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    val Seq(srcC, dstC) = edges.columns.toSeq.take(2)
+    val e = edges.select(col(srcC).as("src"), col(dstC).as("dst"))
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum("label")).head.getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = sym
+        .join(labels, sym("dst") === labels("node"))
+        .groupBy(col("src").as("n2"))
+        .agg(min("label").as("nlabel"))
+      val stepped = labels
+        .join(neighborMin, col("node") === col("n2"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+      // pointer jumping: follow my label to ITS label (labels only ever
+      // shrink, so the looked-up label is ≤ mine) — turns O(diameter)
+      // propagation into O(log n)
+      val jumped = stepped
+        .join(stepped.select(col("node").as("ln"), col("label").as("llabel")),
+          col("label") === col("ln"), "left")
+        .select(col("node"),
+          coalesce(col("llabel"), col("label")).as("label"))
+        .localCheckpoint()
+      val nextSum = jumped.agg(sum("label")).head.getLong(0)
+      labels = jumped
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      iter += 1
+    }
+    sym.unpersist(blocking = false)
+    labels.withColumnRenamed("label", "component")
+  }
+}

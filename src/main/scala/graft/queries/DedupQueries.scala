@@ -95,27 +95,11 @@ object DedupQueries {
   // re-interpolated into outer stripMargin strings, which would eat the
   // first '|' as a margin.
 
-  /** n-gram Jaccard near-dup detection on a bounded id range: exact
-    * set-overlap via shingle equi-join (shared) + per-doc counts.
-    * jac_millis = 1000·|A∩B| / |A∪B| in integer math.
+  /** Scored Jaccard pairs (jac_millis ≥ 200) on the bounded id range —
+    * shared by the pair query and the cluster query. SQL twin:
+    * [[jaccardPairsSql]].
     */
-  val jaccard = Q(
-    "dedup_ngram_jaccard",
-    s"""WITH $corpusSql,
-      |small AS (SELECT * FROM corpus WHERE doc_id % 100000 < 100),
-      |${shingledSql.replace("FROM corpus", "FROM small")},
-      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |shared AS (
-      |  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS shared
-      |  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT s.id_a, s.id_b, s.shared, ca.n AS na, cb.n AS nb,
-      |  CAST((1000 * s.shared) // (ca.n + cb.n - s.shared) AS BIGINT) AS jac_millis
-      |FROM shared s
-      |JOIN cnt ca ON ca.doc_id = s.id_a
-      |JOIN cnt cb ON cb.doc_id = s.id_b
-      |WHERE (1000 * s.shared) // (ca.n + cb.n - s.shared) >= 200
-      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(corpus(s, dir).where(col("doc_id") % 100000 < 100))
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val sa = sh.toDF("id_a", "shingle")
@@ -129,8 +113,60 @@ object DedupQueries {
       .withColumn("jac_millis",
         expr("(1000 * shared) div (na + nb - shared)").cast(LongType))
       .where(col("jac_millis") >= 200)
+  }
+
+  private val jaccardPairsSql =
+    s"""small AS (SELECT * FROM corpus WHERE doc_id % 100000 < 100),
+      |${shingledSql.replace("FROM corpus", "FROM small")},
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |shared AS (
+      |  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS shared
+      |  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT s.id_a, s.id_b, s.shared, ca.n AS na, cb.n AS nb,
+      |    CAST((1000 * s.shared) // (ca.n + cb.n - s.shared) AS BIGINT) AS jac_millis
+      |  FROM shared s
+      |  JOIN cnt ca ON ca.doc_id = s.id_a
+      |  JOIN cnt cb ON cb.doc_id = s.id_b
+      |  WHERE (1000 * s.shared) // (ca.n + cb.n - s.shared) >= 200)""".stripMargin
+
+  /** n-gram Jaccard near-dup detection on a bounded id range: exact
+    * set-overlap via shingle equi-join (shared) + per-doc counts.
+    * jac_millis = 1000·|A∩B| / |A∪B| in integer math.
+    */
+  val jaccard = Q(
+    "dedup_ngram_jaccard",
+    s"""WITH $corpusSql,
+      |$jaccardPairsSql
+      |SELECT id_a, id_b, shared, na, nb, jac_millis FROM pairs
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    jaccardPairs(s, dir)
       .select("id_a", "id_b", "shared", "na", "nb", "jac_millis")
       .orderBy("id_a", "id_b")
+  }
+
+  /** Near-dup PAIRS → duplicate CLUSTERS: connected components over the
+    * Jaccard pair graph (iterative min-label propagation,
+    * [[graft.operators.DedupClusters]]), oracle'd by a DuckDB recursive
+    * CTE computing min reachable node. This is the form a curation
+    * pipeline consumes — "keep min doc per component".
+    */
+  val clusters = Q(
+    "dedup_clusters",
+    s"""WITH RECURSIVE $corpusSql,
+      |$jaccardPairsSql,
+      |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |        UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT DISTINCT src AS node, src AS label FROM sym
+      |  UNION
+      |  SELECT s.src, r.label FROM sym s JOIN reach r ON r.node = s.dst)
+      |SELECT node, min(label) AS component FROM reach GROUP BY node
+      |ORDER BY node""".stripMargin) { (s, dir) =>
+    graft.operators.DedupClusters
+      .connectedComponents(jaccardPairs(s, dir).select("id_a", "id_b"))
+      .orderBy("node")
   }
 
   /** MinHash + LSH near-dup detection, the 100-TB-scale path:
@@ -272,5 +308,5 @@ object DedupQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(exact, jaccard, minhashLsh, simhash)
+  val all: Seq[Q] = Seq(exact, jaccard, clusters, minhashLsh, simhash)
 }
