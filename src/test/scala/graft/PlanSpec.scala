@@ -72,4 +72,10 @@ class PlanSpec extends SparkTestBase {
     val p = plan(AggQueries.a11)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
+
+  test("sampling: stratified downsample is map-side only — no hash shuffle, no join, no agg") {
+    val p = plan(graft.queries.CurationQueries.stratified)
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), s"unexpected op:\n$p")
+  }
 }
