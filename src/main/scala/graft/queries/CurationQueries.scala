@@ -38,5 +38,68 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(stratified)
+  /** Flagship curation pipeline — the composed shape a pretraining-data
+    * run actually executes, end to end in ONE declarative plan (Catalyst
+    * sees every stage; no materialization barriers between them):
+    *
+    *  1. plant exact duplicates (self-checking corpus, as in
+    *     [[DedupQueries]]);
+    *  2. exact dedup: min-doc keeper per content hash — one shuffle on
+    *     the 128-bit hash with map-side combine, then a semi-join of the
+    *     corpus against keeper ids;
+    *  3. quality gate: ≥10 tokens and ≥700‰ alphabetic chars (C4-style
+    *     heuristics, integer millis) — map-side;
+    *  4. stratified downsample by language (hash-threshold Bernoulli,
+    *     map-side, as in [[stratified]]);
+    *  5. per-language corpus stats (docs / tokens / chars).
+    */
+  val pipeline = Q(
+    "curation_pipeline",
+    """WITH base AS (SELECT doc_id, lang, lower(text) AS text FROM documents),
+      |corpus AS (SELECT * FROM base
+      |           UNION ALL
+      |           SELECT doc_id + 200000, lang, text FROM base WHERE doc_id % 10 = 0),
+      |keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(trim(text))),
+      |dedup AS (SELECT c.* FROM corpus c JOIN keep k ON c.doc_id = k.doc_id),
+      |scored AS (SELECT doc_id, lang, text,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    (1000 * length(regexp_replace(text, '[^a-z]', '', 'g'))) // length(text) AS alpha_millis
+      |  FROM dedup),
+      |filtered AS (SELECT * FROM scored WHERE n_tok >= 10 AND alpha_millis >= 700),
+      |sampled AS (SELECT * FROM filtered
+      |  WHERE (('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000
+      |    < CASE WHEN lang = 'en' THEN 500
+      |           WHEN lang IN ('zh', 'es') THEN 250 ELSE 125 END)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+      |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.LongType
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("text"))
+    val corpus = base.unionAll(
+      base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("lang"),
+          col("text")))
+    val keep = corpus.groupBy(md5(trim(col("text"))).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    corpus.join(keep, Seq("doc_id"), "left_semi")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("alpha_millis",
+        expr("(1000 * length(regexp_replace(text, '[^a-z]', ''))) div length(text)"))
+      .where(col("n_tok") >= 10 && col("alpha_millis") >= 700)
+      .withColumn("bucket",
+        expr("cast(conv(substring(md5(concat('samp:', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 1000"))
+      .where(col("bucket") <
+        when(col("lang") === "en", 500)
+          .when(col("lang").isin("zh", "es"), 250).otherwise(125))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").cast(LongType).as("sum_tokens"),
+        sum(length(col("text"))).cast(LongType).as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(stratified, pipeline)
 }
