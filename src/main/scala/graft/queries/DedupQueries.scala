@@ -222,6 +222,12 @@ object DedupQueries {
     val mh = hashed.groupBy("doc_id")
       .agg(min("h0").as("mh0"),
         (1 until 8).map(k => min(s"h$k").as(s"mh$k")): _*)
+      .persist()
+    // EAGER: the band table sits on BOTH sides of the candidate
+    // self-join, so without a materialized mh the whole
+    // shingle→8×md5→min-agg pipeline (the query's dominant cost) is
+    // recomputed once per side. One count() runs it exactly once.
+    mh.count()
     val bands = (0 until 4).map { b =>
       mh.select(col("doc_id"), lit(b).as("band"),
         md5(concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
