@@ -346,6 +346,49 @@ object AggQueries {
       .orderBy("event_id")
   }
 
+  /** W8 — sessionization: gap-based session assignment (30-min
+    * inactivity gap) via lag + running sum of session starts, then
+    * per-session stats. ONE shuffle on user_id serves the lag window,
+    * the running sum, AND the final groupBy (hashpartitioning(user_id)
+    * satisfies the (user_id, session_idx) clustering), so the whole
+    * chain is a single exchange — the shape that holds at 100 TB of
+    * events.
+    */
+  val w8 = Q(
+    "w8_sessionize",
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+      |gaps AS (SELECT user_id, us, event_id,
+      |    CASE WHEN us - lag(us) OVER w > 1800000000
+      |           OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (SELECT user_id, us,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      |  FROM gaps)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      |  CAST(min(us) AS BIGINT) AS start_us, CAST(max(us) AS BIGINT) AS end_us,
+      |  CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_secs
+      |FROM sess GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val run = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum("new_sess").over(run).cast(LongType))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("us").cast(LongType).as("start_us"),
+        max("us").cast(LongType).as("end_us"),
+        expr("(max(us) - min(us)) div 1000000").cast(LongType)
+          .as("duration_secs"))
+      .orderBy("user_id", "session_idx")
+  }
+
   /** Skew-safe aggregation: event_type has a handful of values, so a
     * plain groupBy funnels everything into ≤5 reducers; the salted
     * two-stage form ([[graft.operators.SkewedAgg]]) splits each key 16
@@ -366,5 +409,5 @@ object AggQueries {
   }
 
   val all: Seq[Q] =
-    Seq(a1, a10, a4, a5, a6, a7, a8, a9, a11, a12, a14, w6, skew)
+    Seq(a1, a10, a4, a5, a6, a7, a8, a9, a11, a12, a14, w6, w8, skew)
 }

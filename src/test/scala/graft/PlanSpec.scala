@@ -73,6 +73,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("W8: sessionize windows + final groupBy share ONE shuffle on user_id") {
+    val p = plan(AggQueries.w8)
+    val exchanges = p.split("Exchange hashpartitioning").length - 1
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+  }
+
   test("sampling: stratified downsample is map-side only — no hash shuffle, no join, no agg") {
     val p = plan(graft.queries.CurationQueries.stratified)
     assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
