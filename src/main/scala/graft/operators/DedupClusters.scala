@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Connected components over a pair graph — turns near-duplicate PAIRS
   * (the output of LSH/Jaccard detection, reference analogue: the
@@ -42,19 +43,31 @@ object DedupClusters {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum("label")).head.getLong(0)
-    var converged = false
+    // convergence metric: Σlabel in decimal(38,0) — 60-bit ids × 10^9
+    // nodes stays far under 38 digits, where a Long sum would overflow
+    // (and throw under ANSI mode) after a handful of hash-derived ids
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("label").cast(DecimalType(38, 0)))).head.get(0)
+      if (v == null) java.math.BigDecimal.ZERO
+      else v.asInstanceOf[java.math.BigDecimal]
+    }
+    var prevSum = labelSum(labels)
+    var converged = prevSum.signum == 0 && labels.isEmpty
     var iter = 0
     while (!converged && iter < maxIters) {
       val neighborMin = sym
         .join(labels, sym("dst") === labels("node"))
         .groupBy(col("src").as("n2"))
         .agg(min("label").as("nlabel"))
+      // materialized: stepped sits on both sides of the pointer-jump
+      // self-join below — without this the neighbor join runs twice per
+      // round (same recompute pattern as the minhash band table)
       val stepped = labels
         .join(neighborMin, col("node") === col("n2"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
+        .localCheckpoint()
       // pointer jumping: follow my label to ITS label (labels only ever
       // shrink, so the looked-up label is ≤ mine) — turns O(diameter)
       // propagation into O(log n)
@@ -64,13 +77,16 @@ object DedupClusters {
         .select(col("node"),
           coalesce(col("llabel"), col("label")).as("label"))
         .localCheckpoint()
-      val nextSum = jumped.agg(sum("label")).head.getLong(0)
+      val nextSum = labelSum(jumped)
       labels = jumped
-      converged = nextSum == prevSum
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }
     sym.unpersist(blocking = false)
+    require(converged || iter < maxIters,
+      s"connected components did not converge within $maxIters rounds — " +
+        "partial labels would split duplicate clusters; raise maxIters")
     labels.withColumnRenamed("label", "component")
   }
 }

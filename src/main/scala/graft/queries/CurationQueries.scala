@@ -14,6 +14,19 @@ import graft.Tables.t
   */
 object CurationQueries {
 
+  // The 60-bit salted hash bucket (‰) and the per-language keep-rate
+  // CASE, each in its Spark and DuckDB spelling — single definition so
+  // the sampler and the pipeline can never drift apart.
+  private val bucketSql =
+    "(('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000"
+  private val rateSql =
+    "CASE WHEN lang = 'en' THEN 500 WHEN lang IN ('zh', 'es') THEN 250 ELSE 125 END"
+  private def bucketSpark =
+    expr("cast(conv(substring(md5(concat('samp:', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 1000")
+  private def rateSpark =
+    when(col("lang") === "en", 500)
+      .when(col("lang").isin("zh", "es"), 250).otherwise(125)
+
   /** Stratified downsample of `documents`: per-language keep rates in
     * permille (en 500 / zh+es 250 / rest 125), keep iff the doc's
     * 60-bit hash bucket falls under its stratum's rate. The rate table
@@ -21,19 +34,13 @@ object CurationQueries {
     */
   val stratified = Q(
     "sample_stratified",
-    """SELECT doc_id, lang,
-      |  (('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000 AS bucket
+    s"""SELECT doc_id, lang, $bucketSql AS bucket
       |FROM documents
-      |WHERE (('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000
-      |  < CASE WHEN lang = 'en' THEN 500
-      |         WHEN lang IN ('zh', 'es') THEN 250 ELSE 125 END
+      |WHERE $bucketSql < $rateSql
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     t(s, dir, "documents")
-      .withColumn("bucket",
-        expr("cast(conv(substring(md5(concat('samp:', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 1000"))
-      .where(col("bucket") <
-        when(col("lang") === "en", 500)
-          .when(col("lang").isin("zh", "es"), 250).otherwise(125))
+      .withColumn("bucket", bucketSpark)
+      .where(col("bucket") < rateSpark)
       .select("doc_id", "lang", "bucket")
       .orderBy("doc_id")
   }
@@ -55,21 +62,18 @@ object CurationQueries {
     */
   val pipeline = Q(
     "curation_pipeline",
-    """WITH base AS (SELECT doc_id, lang, lower(text) AS text FROM documents),
+    s"""WITH base AS (SELECT doc_id, lang, lower(text) AS text FROM documents),
       |corpus AS (SELECT * FROM base
       |           UNION ALL
       |           SELECT doc_id + 200000, lang, text FROM base WHERE doc_id % 10 = 0),
       |keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(trim(text))),
-      |dedup AS (SELECT c.* FROM corpus c JOIN keep k ON c.doc_id = k.doc_id),
+      |dedup AS (SELECT * FROM corpus WHERE doc_id IN (SELECT doc_id FROM keep)),
       |scored AS (SELECT doc_id, lang, text,
       |    len(string_split(text, ' ')) AS n_tok,
       |    (1000 * length(regexp_replace(text, '[^a-z]', '', 'g'))) // length(text) AS alpha_millis
       |  FROM dedup),
       |filtered AS (SELECT * FROM scored WHERE n_tok >= 10 AND alpha_millis >= 700),
-      |sampled AS (SELECT * FROM filtered
-      |  WHERE (('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000
-      |    < CASE WHEN lang = 'en' THEN 500
-      |           WHEN lang IN ('zh', 'es') THEN 250 ELSE 125 END)
+      |sampled AS (SELECT * FROM filtered WHERE $bucketSql < $rateSql)
       |SELECT lang, count(*) AS n_docs,
       |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
       |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
@@ -89,11 +93,8 @@ object CurationQueries {
       .withColumn("alpha_millis",
         expr("(1000 * length(regexp_replace(text, '[^a-z]', ''))) div length(text)"))
       .where(col("n_tok") >= 10 && col("alpha_millis") >= 700)
-      .withColumn("bucket",
-        expr("cast(conv(substring(md5(concat('samp:', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 1000"))
-      .where(col("bucket") <
-        when(col("lang") === "en", 500)
-          .when(col("lang").isin("zh", "es"), 250).otherwise(125))
+      .withColumn("bucket", bucketSpark)
+      .where(col("bucket") < rateSpark)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tok").cast(LongType).as("sum_tokens"),

@@ -24,6 +24,10 @@ class DedupClustersSpec extends SparkTestBase {
     assert(got === Map(5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("empty edge set yields an empty labeling, not a crash") {
+    assert(cc(Seq.empty) === Map.empty)
+  }
+
   test("long chain converges within the iteration bound") {
     val n = 40L
     val edges = (1L until n).map(i => (i + 1) -> i)
