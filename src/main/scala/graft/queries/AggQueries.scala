@@ -389,6 +389,38 @@ object AggQueries {
       .orderBy("user_id", "session_idx")
   }
 
+  /** A15 — cohort retention (beyond the reference; standard
+    * user-analytics shape): users cohorted by first-seen day, activity
+    * counted per (cohort_day, day_offset). The first-seen agg and the
+    * activity join share the user_id exchange, and the distinct reuses
+    * it too (hashpartitioning(user_id) satisfies clustering on any
+    * superset), so only the final (cohort, offset) rollup adds a
+    * shuffle.
+    */
+  val a15 = Q(
+    "a15_cohort_retention",
+    """WITH e AS (SELECT user_id,
+      |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+      |  FROM events),
+      |first AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+      |x AS (SELECT DISTINCT e.user_id, f.cohort_day,
+      |        e.day - f.cohort_day AS day_offset
+      |      FROM e JOIN first f ON e.user_id = f.user_id)
+      |SELECT cohort_day, day_offset, count(*) AS n_users
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("floor(unix_micros(ts) / 86400000000)").cast(LongType).as("day"))
+    val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+    e.join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Skew-safe aggregation: event_type has a handful of values, so a
     * plain groupBy funnels everything into ≤5 reducers; the salted
     * two-stage form ([[graft.operators.SkewedAgg]]) splits each key 16
@@ -409,5 +441,5 @@ object AggQueries {
   }
 
   val all: Seq[Q] =
-    Seq(a1, a10, a4, a5, a6, a7, a8, a9, a11, a12, a14, w6, w8, skew)
+    Seq(a1, a10, a4, a5, a6, a7, a8, a9, a11, a12, a14, a15, w6, w8, skew)
 }
