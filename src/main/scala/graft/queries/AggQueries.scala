@@ -421,6 +421,42 @@ object AggQueries {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** A16 — funnel conversion (beyond the reference; standard
+    * user-analytics shape): users who signed up, and of those, who
+    * purchased at-or-after their first signup, plus the total
+    * signup→purchase delay. Per-user mins via one conditional agg after
+    * a user_id join against first-signup times — the join and both
+    * aggregations share the user_id exchange; output is one row.
+    */
+  val a16 = Q(
+    "a16_funnel",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |su AS (SELECT user_id, min(us) AS signup_us FROM e
+      |       WHERE event_type = 'signup' GROUP BY user_id),
+      |per AS (SELECT e.user_id, su.signup_us,
+      |    min(CASE WHEN e.event_type = 'purchase' AND e.us >= su.signup_us
+      |             THEN e.us END) AS purchase_us
+      |  FROM e JOIN su ON e.user_id = su.user_id
+      |  GROUP BY e.user_id, su.signup_us)
+      |SELECT count(*) AS n_signup,
+      |  count(purchase_us) AS n_converted,
+      |  CAST(coalesce(sum(purchase_us - signup_us), 0) AS BIGINT) AS total_delay_us
+      |FROM per""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val su = e.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("us").as("signup_us"))
+    e.join(su, Seq("user_id"))
+      .groupBy("user_id", "signup_us")
+      .agg(min(when(col("event_type") === "purchase" &&
+        col("us") >= col("signup_us"), col("us"))).as("purchase_us"))
+      .agg(count(lit(1)).as("n_signup"),
+        count(col("purchase_us")).as("n_converted"),
+        coalesce(sum(col("purchase_us") - col("signup_us")), lit(0L))
+          .cast(LongType).as("total_delay_us"))
+  }
+
   /** Skew-safe aggregation: event_type has a handful of values, so a
     * plain groupBy funnels everything into ≤5 reducers; the salted
     * two-stage form ([[graft.operators.SkewedAgg]]) splits each key 16
@@ -441,5 +477,6 @@ object AggQueries {
   }
 
   val all: Seq[Q] =
-    Seq(a1, a10, a4, a5, a6, a7, a8, a9, a11, a12, a14, a15, w6, w8, skew)
+    Seq(a1, a10, a4, a5, a6, a7, a8, a9, a11, a12, a14, a15, a16, w6, w8,
+      skew)
 }
