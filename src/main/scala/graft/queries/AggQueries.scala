@@ -5,7 +5,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables.t
-import Q.{dec, dec38}
 
 /** Aggregation + window operators — SURVEY.md §2.4 (A1–A14) and §2.6
   * (W1–W6). The reference maintains these as in-place row mutations
@@ -18,8 +17,14 @@ import Q.{dec, dec38}
   */
 object AggQueries {
 
-  private def delta = when(col("event_type") === "purchase", -dec(col("value")))
-    .otherwise(dec(col("value")))
+  /** Signed ledger delta in exact integer cents (the 2-dp synthetic money
+    * values scale losslessly ×100). Final projections stay BIGINT — never
+    * DECIMAL — so the driver's cross-engine hash is render-stable.
+    */
+  private def deltaCents =
+    when(col("event_type") === "purchase",
+      -round(col("value") * 100).cast(LongType))
+      .otherwise(round(col("value") * 100).cast(LongType))
 
   /** A1+A2 — running balance accumulator and after-balance snapshot
     * (sql.py:1320-1418 updateBalance; :1658-1662 finalizeAfterBalances).
@@ -30,23 +35,24 @@ object AggQueries {
     "a1_running_balance",
     """SELECT event_id, user_id,
       |  CAST(sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS balance_after,
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS balance_after_cents,
       |  CAST(coalesce(sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DECIMAL(38,4)) AS balance_before
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS balance_before_cents
       |FROM (SELECT event_id, user_id, ts,
-      |        CASE WHEN event_type = 'purchase' THEN -CAST(value AS DECIMAL(20,4))
-      |             ELSE CAST(value AS DECIMAL(20,4)) END AS delta
+      |        CASE WHEN event_type = 'purchase' THEN -CAST(round(value * 100) AS BIGINT)
+      |             ELSE CAST(round(value * 100) AS BIGINT) END AS delta
       |      FROM events)
       |ORDER BY event_id""".stripMargin) { (s, dir) =>
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t(s, dir, "events")
-      .select(col("event_id"), col("user_id"), col("ts"), delta.as("delta"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        deltaCents.as("delta"))
       .select(col("event_id"), col("user_id"),
-        dec38(sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-          .as("balance_after"),
-        dec38(coalesce(
+        sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(LongType).as("balance_after_cents"),
+        coalesce(
           sum("delta").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0))).as("balance_before"))
+          lit(0L)).cast(LongType).as("balance_before_cents"))
       .orderBy("event_id")
   }
 
@@ -56,7 +62,7 @@ object AggQueries {
   val a10 = Q(
     "a10_latest_per_key",
     """SELECT event_type, event_id AS last_event_id,
-      |  CAST(value AS DECIMAL(20,4)) AS last_value
+      |  CAST(round(value * 100) AS BIGINT) AS last_value_cents
       |FROM (SELECT event_type, event_id, value,
       |        row_number() OVER (PARTITION BY event_type
       |          ORDER BY ts DESC, event_id DESC) AS rn
@@ -68,7 +74,7 @@ object AggQueries {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("event_type"), col("event_id").as("last_event_id"),
-        dec(col("value")).as("last_value"))
+        round(col("value") * 100).cast(LongType).as("last_value_cents"))
       .orderBy("event_type")
   }
 
@@ -99,7 +105,7 @@ object AggQueries {
     "a5_conditional_agg",
     """SELECT o_orderpriority,
       |  CAST(sum(CASE WHEN o_orderstatus = 'F'
-      |    THEN CAST(o_totalprice AS DECIMAL(20,4)) END) AS DECIMAL(38,4)) AS valid_value,
+      |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS valid_cents,
       |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS valid_n,
       |  count(CASE WHEN o_orderstatus <> 'F' THEN 1 END) AS invalid_n
       |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) {
@@ -107,8 +113,9 @@ object AggQueries {
       t(s, dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-          dec38(sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice")))))
-            .as("valid_value"),
+          sum(when(col("o_orderstatus") === "F",
+            round(col("o_totalprice") * 100).cast(LongType)))
+            .cast(LongType).as("valid_cents"),
           count(when(col("o_orderstatus") === "F", 1)).as("valid_n"),
           count(when(col("o_orderstatus") =!= "F", 1)).as("invalid_n"))
         .orderBy("o_orderpriority")
@@ -121,17 +128,19 @@ object AggQueries {
   val a6 = Q(
     "a6_market_ticker",
     """SELECT l_partkey,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS supply,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS supply_units,
       |  CAST(min(CASE WHEN l_discount = 0
-      |    THEN CAST(l_extendedprice AS DECIMAL(20,4)) END) AS DECIMAL(20,4)) AS best_price,
+      |    THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS BIGINT) AS best_price_cents,
       |  count(*) AS n_offers
       |FROM lineitem GROUP BY 1 ORDER BY l_partkey""".stripMargin) {
     (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_partkey")
-        .agg(dec38(sum(dec(col("l_quantity")))).as("supply"),
-          min(when(col("l_discount") === 0, dec(col("l_extendedprice"))))
-            .cast(DecimalType(20, 4)).as("best_price"),
+        .agg(sum(round(col("l_quantity") * 100).cast(LongType))
+          .cast(LongType).as("supply_units"),
+          min(when(col("l_discount") === 0,
+            round(col("l_extendedprice") * 100).cast(LongType)))
+            .cast(LongType).as("best_price_cents"),
           count(lit(1)).as("n_offers"))
         .orderBy("l_partkey")
   }
@@ -142,12 +151,12 @@ object AggQueries {
     */
   val a7 = Q(
     "a7_trailing_24h",
-    """SELECT event_id, n_24h, CAST(sum_24h AS DECIMAL(38,4)) AS sum_24h
+    """SELECT event_id, n_24h, CAST(sum_24h AS BIGINT) AS sum_24h_cents
       |FROM (SELECT event_id,
       |        count(*) OVER w AS n_24h,
       |        sum(v) OVER w AS sum_24h
       |      FROM (SELECT event_id, user_id, epoch_us(ts) AS us,
-      |              CAST(value AS DECIMAL(20,4)) AS v FROM events)
+      |              CAST(round(value * 100) AS BIGINT) AS v FROM events)
       |      WINDOW w AS (PARTITION BY user_id ORDER BY us
       |        RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW))
       |ORDER BY event_id""".stripMargin) { (s, dir) =>
@@ -155,10 +164,11 @@ object AggQueries {
       .rangeBetween(-86400000000L, 0)
     t(s, dir, "events")
       .select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("us"), dec(col("value")).as("v"))
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast(LongType).as("v"))
       .select(col("event_id"),
         count(lit(1)).over(w).as("n_24h"),
-        dec38(sum("v").over(w)).as("sum_24h"))
+        sum("v").over(w).cast(LongType).as("sum_24h_cents"))
       .orderBy("event_id")
   }
 
@@ -307,9 +317,10 @@ object AggQueries {
   val a14 = Q(
     "a14_first_last",
     """SELECT DISTINCT user_id,
-      |  first_value(v) OVER w AS f_val,
-      |  last_value(v) OVER w AS l_val
-      |FROM (SELECT user_id, ts, event_id, CAST(value AS DECIMAL(20,4)) AS v
+      |  first_value(v) OVER w AS f_val_cents,
+      |  last_value(v) OVER w AS l_val_cents
+      |FROM (SELECT user_id, ts, event_id,
+      |        CAST(round(value * 100) AS BIGINT) AS v
       |      FROM events)
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
@@ -318,10 +329,10 @@ object AggQueries {
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     t(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
-        dec(col("value")).as("v"))
+        round(col("value") * 100).cast(LongType).as("v"))
       .select(col("user_id"),
-        first("v").over(w).as("f_val"),
-        last("v").over(w).as("l_val"))
+        first("v").over(w).as("f_val_cents"),
+        last("v").over(w).as("l_val_cents"))
       .distinct()
       .orderBy("user_id")
   }

@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables.t
 import graft.operators.GlobalSerial
-import Q.{dec, dec38}
 
 /** Joins, ordering, set ops, and maintenance-as-derivation —
   * SURVEY.md §2.5 (J1–J11), §2.6 (W1), §2.7 (O1–O6), §2.8 (M2/M4).
@@ -256,24 +255,25 @@ object JoinQueries {
     "m4_reorg_rederive",
     """WITH tip AS (SELECT max(ts) AS mt FROM events)
       |SELECT user_id,
-      |  CAST(sum(CASE WHEN ts <= mt - INTERVAL 7 DAY THEN delta END) AS DECIMAL(38,4)) AS bal_at_fork,
-      |  CAST(sum(delta) AS DECIMAL(38,4)) AS bal_at_tip
+      |  CAST(sum(CASE WHEN ts <= mt - INTERVAL 7 DAY THEN delta END) AS BIGINT) AS fork_cents,
+      |  CAST(sum(delta) AS BIGINT) AS tip_cents
       |FROM (SELECT user_id, ts,
-      |        CASE WHEN event_type = 'purchase' THEN -CAST(value AS DECIMAL(20,4))
-      |             ELSE CAST(value AS DECIMAL(20,4)) END AS delta
+      |        CASE WHEN event_type = 'purchase' THEN -CAST(round(value * 100) AS BIGINT)
+      |             ELSE CAST(round(value * 100) AS BIGINT) END AS delta
       |      FROM events) CROSS JOIN tip
       |GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
     val ev = t(s, dir, "events")
     val tip = ev.agg(max("ts").as("mt"))
-    val delta = when(col("event_type") === "purchase", -dec(col("value")))
-      .otherwise(dec(col("value")))
+    val delta = when(col("event_type") === "purchase",
+      -round(col("value") * 100).cast(LongType))
+      .otherwise(round(col("value") * 100).cast(LongType))
     ev.select(col("user_id"), col("ts"), delta.as("delta"))
       .crossJoin(broadcast(tip))
       .groupBy("user_id")
       .agg(
-        dec38(sum(when(col("ts") <= expr("mt - INTERVAL 7 DAYS"), col("delta"))))
-          .as("bal_at_fork"),
-        dec38(sum(col("delta"))).as("bal_at_tip"))
+        sum(when(col("ts") <= expr("mt - INTERVAL 7 DAYS"), col("delta")))
+          .cast(LongType).as("fork_cents"),
+        sum(col("delta")).cast(LongType).as("tip_cents"))
       .orderBy("user_id")
   }
 

@@ -21,15 +21,12 @@ object Q {
   def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, None)
 
-  /** Cross-engine-safe decimal cast (DuckDB and Spark agree on
-    * double→decimal rounding off ties; we keep 4 fractional digits so the
-    * 2-dp synthetic money values are exact).
+  /** Cross-engine-safe decimal cast for INTERMEDIATE math only (DuckDB
+    * and Spark agree on double→decimal rounding off ties; 4 fractional
+    * digits keep the 2-dp synthetic money values exact). Final output
+    * projections must be scaled BIGINT, never DECIMAL — the driver's
+    * cross-engine hash normalizes decimal rendering differently per
+    * engine, so value-equal DECIMAL columns still hash-mismatch.
     */
   def dec(c: Column): Column = c.cast(DecimalType(20, 4))
-
-  /** Final-output decimal: pin precision so Spark's and DuckDB's agg
-    * result types line up (DuckDB sum(DECIMAL(p,s)) → DECIMAL(38,s)).
-    */
-  def dec38(c: Column, scale: Int = 4): Column =
-    c.cast(DecimalType(38, scale))
 }

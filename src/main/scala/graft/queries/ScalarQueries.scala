@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables.t
-import Q.{dec, dec38}
+import Q.dec
 
 /** Projection / filter / scalar-computation operators — SURVEY.md §2.2
   * (P1–P11). Each reproduces the *shape* of a reference operator
@@ -60,23 +60,25 @@ object ScalarQueries {
   }
 
   /** P3 — divisibility scaling (omniutils.py:4-12): divisible amounts
-    * ×1e8 → integer base units as DecimalType(19,0) — exact decimal
-    * arithmetic, never double, matching the reference's numeric(19).
+    * ×1e8 → integer base units. The 2-dp price scales losslessly via
+    * round(×100)×1e6, so the whole computation is exact BIGINT — matching
+    * the reference's numeric(19) semantics while staying render-stable
+    * across engines (DECIMAL output hashes differ on scale formatting).
     */
   val p3 = Q(
     "p3_divisibility_scaling",
     """SELECT p_partkey,
       |  CAST(CASE WHEN p_size % 2 = 0
-      |    THEN CAST(p_retailprice AS DECIMAL(12,2)) * 100000000
-      |    ELSE floor(CAST(p_retailprice AS DECIMAL(12,2))) END
-      |    AS DECIMAL(19,0)) AS base_units
+      |    THEN CAST(round(p_retailprice * 100) AS BIGINT) * 1000000
+      |    ELSE CAST(floor(p_retailprice) AS BIGINT) END
+      |    AS BIGINT) AS base_units
       |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
     // Non-divisible amounts are whole tokens: explicit floor, never a
-    // fractional→integer decimal cast (Spark HALF_UPs, DuckDB half-evens).
-    val d2 = col("p_retailprice").cast(DecimalType(12, 2))
-    val units = when(col("p_size") % 2 === 0, d2 * lit(100000000L))
-      .otherwise(floor(d2))
-      .cast(DecimalType(19, 0))
+    // fractional→integer cast (Spark HALF_UPs, DuckDB half-evens).
+    val units = when(col("p_size") % 2 === 0,
+      round(col("p_retailprice") * 100).cast(LongType) * lit(1000000L))
+      .otherwise(floor(col("p_retailprice")).cast(LongType))
+      .cast(LongType)
     t(s, dir, "part")
       .select(col("p_partkey"), units.as("base_units"))
       .orderBy("p_partkey")
