@@ -41,6 +41,18 @@ object DexLifecycle {
     txs
       .filter(t => t._1.type_int == 20 || t._1.type_int == 22 ||
         t._1.type_int == -22)
+      // One BTC payment can settle accepts held by SEVERAL sellers: the
+      // reference iterates purchases[] and each purchase names its own
+      // referenceaddress/propertyid (sql.py:1966-2030). Explode -22 into
+      // one synthetic single-purchase event per purchase so each lands in
+      // its own (seller, pid) fold group; Seq.sortBy is stable, so
+      // same-serial siblings keep purchase order within a group.
+      .flatMap { case (tx, serial) =>
+        if (tx.type_int == -22)
+          tx.purchases.filter(_.valid)
+            .map(p => (tx.copy(purchases = Seq(p)), serial))
+        else Seq((tx, serial))
+      }
       .groupByKey { case (tx, _) =>
         val pid = if (tx.type_int == -22)
           tx.purchases.headOption.map(_.propertyid).getOrElse(tx.propertyid)

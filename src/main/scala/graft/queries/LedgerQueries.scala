@@ -141,52 +141,94 @@ object LedgerQueries {
       .orderBy("address")
   }
 
-  /** DEx lifecycle fold at scale (no SQL oracle — the per-key
-    * sequential fold is exactly what relational SQL can't express;
-    * semantics pinned by DexLifecycleSpec). Events become offers
-    * (signup), accepts (purchase), payments (click) per synthetic
-    * seller; output = final offer/accept state census.
+  /** DEx lifecycle fold against a closed-form oracle. The event stream
+    * is constructed so the fold's accept-clamp semantics
+    * (sql.py:676-681: an accept gets min(want, still-available)) has an
+    * exact relational closed form: with ONE offer per seller placed
+    * before all accepts, got_i = least(cum_want_i, AMT) −
+    * least(cum_want_{i−1}, AMT) — a running-sum window. The Spark side
+    * runs the REAL sequential fold ([[DexLifecycle.derive]]); DuckDB
+    * computes the closed form; equality proves the fold's arrival-order
+    * clamp arithmetic. (Replace/expiry/settlement legs stay pinned by
+    * DexLifecycleSpec/DexDeriveSpec — they have no closed form.)
+    *
+    * Construction: each user's FIRST event is an accept (want =
+    * value-cents, ≥1) toward seller S{user_id%50}; each seller's single
+    * offer amount = max want among its buyers, so the first-arriving
+    * max-want buyer drains the book and later accepts go invalid —
+    * both accept states exercised.
     */
-  val dexFold = Q.noOracle("dex_lifecycle_fold") { (s, dir) =>
+  val dexFold = Q(
+    "dex_lifecycle_fold",
+    """WITH f AS (
+      |  SELECT user_id, event_id, sec, want, user_id % 50 AS sid
+      |  FROM (SELECT user_id, event_id,
+      |          CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec,
+      |          greatest(CAST(round(value * 100) AS BIGINT), 1) AS want,
+      |          row_number() OVER (PARTITION BY user_id
+      |            ORDER BY ts, event_id) AS rn
+      |        FROM events)
+      |  WHERE rn = 1),
+      |amt AS (SELECT sid, max(want) AS amt FROM f GROUP BY sid),
+      |c AS (SELECT f.sid, f.want, amt.amt,
+      |        sum(f.want) OVER (PARTITION BY f.sid ORDER BY f.sec, f.event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM f JOIN amt ON f.sid = amt.sid),
+      |g AS (SELECT sid, amt,
+      |        least(cum, amt) - least(cum - want, amt) AS got
+      |      FROM c)
+      |SELECT 'S' || CAST(sid AS VARCHAR) AS seller,
+      |  CAST(max(amt) - sum(got) AS BIGINT) AS remaining,
+      |  CAST(sum(got) AS BIGINT) AS accepted_total,
+      |  count(CASE WHEN got > 0 THEN 1 END) AS n_open,
+      |  count(CASE WHEN got = 0 THEN 1 END) AS n_invalid
+      |FROM g GROUP BY sid ORDER BY seller""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val evs = t(s, dir, "events")
-      .select($"event_id", $"user_id", $"event_type",
-        round($"value" * 100).cast(LongType).as("cents"),
-        unix_timestamp($"ts").as("sec"))
-      .as[(Long, Long, String, Long, Long)]
-    val txs = evs.flatMap { case (eid, uid, typ, cents, sec) =>
-      val seller = s"S${uid % 50}"
-      val buyer = s"U$uid"
-      val base = RawTx(txid = f"$eid%016x", protocol = "Omni",
-        sendingaddress = seller, referenceaddress = None, type_int = 20,
-        version = 0, valid = true, block = sec / 3600, blocktime = sec,
-        positioninblock = 0, propertyid = 31, divisible = false,
-        amount = BigDecimal(math.max(cents, 1)))
-      typ match {
-        case "signup" => Some(base.copy(subaction = 1,
-          bitcoindesired = BigDecimal(cents / 2 + 1), timelimit = 100))
-        case "purchase" => Some(base.copy(type_int = 22,
-          sendingaddress = buyer, referenceaddress = Some(seller)))
-        case "click" => Some(base.copy(type_int = -22,
-          sendingaddress = buyer, referenceaddress = Some(seller),
-          amount = 0, purchases = Seq(DexPurchase(seller, 31,
-            valid = true, BigDecimal(math.max(cents, 1))))))
-        case _ => None
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val firsts = t(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts",
+        unix_timestamp($"ts").as("sec"),
+        greatest(round($"value" * 100).cast(LongType), lit(1L)).as("want"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"user_id", $"event_id", $"sec", $"want",
+        ($"user_id" % 50).as("sid"))
+    val offers = firsts.groupBy("sid").agg(max("want").as("amt"))
+      .as[(Long, Long)].map { case (sid, amt) =>
+        (RawTx(txid = f"$sid%016x", protocol = "Omni",
+          sendingaddress = s"S$sid", referenceaddress = None, type_int = 20,
+          version = 0, valid = true, block = 0, blocktime = 0,
+          positioninblock = 0, propertyid = 31, divisible = false,
+          amount = BigDecimal(amt), subaction = 1,
+          bitcoindesired = BigDecimal(1), timelimit = Long.MaxValue / 4),
+          sid) // offer serial = sid < 2^20 ≤ any accept serial
       }
-    }
-    // The fold needs only a PER-KEY total order, not global serials:
-    // (second << 20) | event_id is unique and monotone in (ts, event_id)
-    // — no stamper, no extra passes.
-    val stamped = txs.map(tx =>
-      (tx, (tx.blocktime << 20) | (java.lang.Long.parseLong(tx.txid, 16) & 0xFFFFFL)))
-    val dex = DexLifecycle.derive(stamped, tipBlock = Long.MaxValue / 2)
-    val offers = dex.flatMap(_.offers)
-      .groupBy($"offerState".as("state")).agg(count(lit(1)).as("n"))
-      .withColumn("kind", lit("offer"))
-    val accepts = dex.flatMap(_.accepts)
-      .groupBy($"dexState".as("state")).agg(count(lit(1)).as("n"))
-      .withColumn("kind", lit("accept"))
-    offers.unionByName(accepts).orderBy("kind", "state")
+    val accepts = firsts
+      .select($"sid", $"user_id", $"event_id", $"sec", $"want")
+      .as[(Long, Long, Long, Long, Long)]
+      .map { case (sid, uid, eid, sec, want) =>
+        // Per-key total order without a global stamper: (sec<<20)|eid is
+        // unique and monotone in (ts, event_id) while event_id < 2^20.
+        (RawTx(txid = f"$eid%016x", protocol = "Omni",
+          sendingaddress = s"U$uid", referenceaddress = Some(s"S$sid"),
+          type_int = 22, version = 0, valid = true, block = sec / 3600,
+          blocktime = sec, positioninblock = 0, propertyid = 31,
+          divisible = false, amount = BigDecimal(want)),
+          (sec << 20) | (eid & 0xFFFFFL))
+      }
+    val dex = DexLifecycle.derive(offers.union(accepts), tipBlock = 1)
+    val off = dex.flatMap(_.offers)
+      .select($"seller", $"amountAvailable".as("remaining"),
+        $"amountAccepted".as("accepted_total"))
+    val acc = dex.flatMap(_.accepts)
+      .groupBy($"seller")
+      .agg(count(when($"dexState" === "unpaid", 1)).as("n_open"),
+        count(when($"dexState" === "invalid", 1)).as("n_invalid"))
+    off.join(acc, Seq("seller"))
+      .select($"seller", $"remaining".cast(LongType),
+        $"accepted_total".cast(LongType), $"n_open", $"n_invalid")
+      .orderBy("seller")
   }
 
   /** BTC UTXO ledger (S4/J5): lineitems are outputs (one per line,
