@@ -16,7 +16,8 @@ object SparkEntry {
     ScalarQueries.all ++ AggQueries.all ++ JoinQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ CurationQueries.all ++
       SimilarityQueries.all ++
-      MultimodalQueries.all ++ SourceQueries.all ++ LedgerQueries.all
+      MultimodalQueries.all ++ SourceQueries.all ++ LedgerQueries.all ++
+      MetaDexQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The wallet serving query (SURVEY §3.3, J9): facts ⋈ entity ⋈

@@ -12,24 +12,37 @@ object Markets {
 
   /** A6 — ticker per trading pair from the offer book: supply = Σ
     * available over active offers, best price = min unit price among
-    * untouched offers (reference refines touched offers by effective
-    * price — ceil(avail×origPrice) — reproduced here), last activity.
+    * untouched offers, with touched offers refined by effective price —
+    * ceil(avail×origPrice)/avail (sql.py:937) — and last activity.
+    *
+    * Prices are ×1e8-scaled BIGINT throughout: the 8-dp unitPrice scales
+    * losslessly, the ceil and the final floor-division are exact integer
+    * arithmetic (identical in every engine — no decimal-division rounding
+    * to disagree on), and min() commutes with the monotone floor, so
+    * min(effE8) = floor(min(eff)·1e8). Intermediates run in
+    * DECIMAL(38,0) so avail×priceE8 can't overflow 64 bits at scale.
     * One shuffle on the pair key; dimension names join via broadcast at
     * serve time.
     */
   def tickers(offers: Dataset[ActiveOffer]): DataFrame = {
     val active = offers.where(col("offerState") === "active")
-    val effective = when(col("amountAccepted") === 0, col("unitPrice"))
-      .otherwise(
-        ceil(col("amountAvailable").cast("decimal(38,8)") * col("unitPrice")) /
-          greatest(col("amountAvailable"), lit(1L)))
     active
+      .withColumn("u_e8",
+        (col("unitPrice") * lit(100000000L)).cast("decimal(38,0)"))
+      // ceilNumer = ceil(avail × price); effE8 = floor(ceilNumer·1e8/avail)
+      .withColumn("eff_e8",
+        when(col("amountAccepted") === 0 || col("amountAvailable") === 0,
+          col("u_e8").cast("long"))
+          .otherwise(expr(
+            """CAST((CAST((CAST(amountAvailable AS DECIMAL(38,0)) * u_e8
+              |  + 99999999) DIV 100000000 AS DECIMAL(38,0)) * 100000000)
+              |DIV amountAvailable AS BIGINT)""".stripMargin)))
       .groupBy(col("propertyIdSelling"), col("propertyIdDesired"))
       .agg(
         sum(col("amountAvailable")).cast("long").as("supply"),
-        min(when(col("amountAccepted") === 0, col("unitPrice")))
-          .as("bestUntouchedPrice"),
-        min(effective).as("bestEffectivePrice"),
+        min(when(col("amountAccepted") === 0, col("u_e8").cast("long")))
+          .as("bestUntouchedPriceE8"),
+        min(col("eff_e8")).as("bestEffectivePriceE8"),
         count(lit(1)).as("nOffers"),
         max(col("lastTxDbSerialNum")).as("lastTxDbSerialNum"))
   }

@@ -20,8 +20,9 @@ class MarketsSpec extends SparkTestBase {
     assert(tk.length == 1)
     val r = tk.head
     assert(r.getAs[Long]("supply") == 300L) // cancelled excluded
-    assert(r.getAs[java.math.BigDecimal]("bestUntouchedPrice")
-      .compareTo(new java.math.BigDecimal("0.5")) == 0)
+    assert(r.getAs[Long]("bestUntouchedPriceE8") == 50000000L)
+    // touched offer: ceil(200×0.4)/200 = 80/200 = 0.4 exactly → 4e7
+    assert(r.getAs[Long]("bestEffectivePriceE8") == 40000000L)
     assert(r.getAs[Long]("nOffers") == 2L)
   }
 
