@@ -52,9 +52,15 @@ final case class RawTx(
     matches: Seq[TradeMatch] = Nil,
     // types 26/27/28 cancels (sql.py:2129-2166)
     cancelledtransactions: Seq[CancelledTx] = Nil,
-    // types 50/51/53/54 property lifecycle (sql.py:2168-2244)
+    // types 50/51/53/54 property lifecycle (sql.py:2168-2244); the
+    // category/subcategory/url/data payload fields feed the registry's
+    // PropertyData fidelity (sql.py:1565-1575)
     propertyname: String = "",
     ecosystem: String = "",
+    propertycategory: String = "",
+    propertysubcategory: String = "",
+    propertyurl: String = "",
+    propertydata: String = "",
     // type -51 crowdsale purchase (sql.py:2180-2232)
     purchasedpropertyid: Long = 0,
     purchaseddivisible: Boolean = false,
@@ -129,10 +135,30 @@ final case class MatchedTrade(txDbSerialNum: Long, txHash: String,
     amountReceived: Long, block: Long, tradingFee: Long,
     matchedTxHash: String)
 
-/** SmartProperties (omni_db_schema.psql:312-343). */
+/** SmartProperties (omni_db_schema.psql:312-343) at reference payload
+  * fidelity (sql.py:1524-1600 insertProperty): name/category/
+  * subcategory/url/data, PropertyType (1=indivisible, 2=divisible), the
+  * crowdsale participant tally (+issuer bonus credited once at close,
+  * sql.py:1485-1501), the managed grant/revoke net, and delegate state
+  * (73/74, sql.py:2306-2327). `propertyDataJson` is the assembled
+  * PropertyData payload the wallet's property pages read.
+  */
 final case class SmartProperty(propertyId: Long, issuer: String,
     ecosystem: String, propertyName: String, divisible: Boolean,
-    managed: Boolean, createTxDbSerialNum: Long, lastTxDbSerialNum: Long)
+    managed: Boolean, createTxDbSerialNum: Long, lastTxDbSerialNum: Long,
+    propertyType: Int = 1,
+    category: String = "",
+    subcategory: String = "",
+    url: String = "",
+    data: String = "",
+    propertyDataJson: String = "",
+    crowdsale: Boolean = false,
+    crowdsaleActive: Boolean = false,
+    participantCount: Long = 0,
+    tokensPurchased: Long = 0,
+    issuerTokens: Long = 0,
+    granted: Long = 0,
+    delegate: String = "")
 
 object Amounts {
   private val Sat = BigDecimal(100000000L)

@@ -47,6 +47,50 @@ object Markets {
         max(col("lastTxDbSerialNum")).as("lastTxDbSerialNum"))
   }
 
+  /** Per-block per-property USD valuation (sql.py:276-306
+    * updateTxStatsBlock): volume = Σ|delta| over valid rows excluding
+    * buyer/recipient roles, value = volume × latest pid→BTC rate ×
+    * latest BTC→USD rate (÷1e8 first for divisible properties),
+    * emitted as integer micro-USD.
+    *
+    * `flows` columns: block, propertyId, delta (base units), valid,
+    * role, divisible. Rates are the append-only history — the
+    * latest-per-pair view (W4) is taken here, then BROADCAST: the rate
+    * dimension is tiny, so the only shuffle is the (block, propertyId)
+    * aggregation, which combines map-side. Rate scaling is exact
+    * integer (rate→e8, USD→cents) with DECIMAL(38,0) intermediates —
+    * no float product to disagree across engines.
+    */
+  def txValueStats(flows: DataFrame,
+      rates: Dataset[RatesEtl.Rate]): DataFrame = {
+    val cur = RatesEtl.currentRates(rates)
+    val btcUsd = cur.where(col("protocol1") === "Fiat" &&
+        col("protocol2") === "Bitcoin" &&
+        col("propertyId1") === 0 && col("propertyId2") === 0)
+      .select(round(col("rate1for2") * 100).cast("long").as("btc_usd_e2"))
+    val pidRates = cur.where(col("protocol1") === "Bitcoin" &&
+        col("protocol2") === "Omni")
+      .select(col("propertyId2").as("propertyId"),
+        round(col("rate1for2") * 100000000L).cast("long").as("rate_e8"))
+    flows
+      .where(!col("role").isin("buyer", "recipient"))
+      .groupBy(col("block"), col("propertyId"), col("divisible"))
+      .agg(
+        coalesce(sum(when(col("valid"), abs(col("delta")))), lit(0L))
+          .cast("long").as("volume"),
+        count(when(col("valid"), 1)).as("txCount"),
+        count(when(!col("valid"), 1)).as("invalidCount"))
+      .join(broadcast(pidRates), Seq("propertyId"), "left")
+      .crossJoin(broadcast(btcUsd))
+      // value_usd = volume/1e8^div × rate_e8/1e8 × usd_e2/1e2 → micros ×1e6
+      .withColumn("valueUsdMicros", expr(
+        """CAST(CAST(volume AS DECIMAL(38,0)) * coalesce(rate_e8, 0)
+          |  * btc_usd_e2
+          |  DIV (CASE WHEN divisible THEN 1000000000000 ELSE 10000 END)
+          |AS BIGINT)""".stripMargin))
+      .drop("rate_e8", "btc_usd_e2")
+  }
+
   /** A5 — per-block tx stats with a trailing 24-h window
     * (sql.py:266,276): counts per block + RANGE frame over epoch
     * seconds. At scale the window shuffles once on nothing heavier than

@@ -111,32 +111,93 @@ object FeatureActivations {
 }
 
 /** SmartProperties registry (reference sql.py:1524-1600 insertProperty,
-  * :1485-1501 updateProperty): per-property fold over lifecycle txs
-  * (50/51/54 create, 70 change-issuer) ordered by serial — tiny groups,
-  * one shuffle on propertyid.
+  * :1469-1501 updateProperty): per-property fold over the full lifecycle
+  * — 50/51/54 create (with name/category/subcategory/url/data payload),
+  * −51 crowdsale purchases (participant tally + tokens, grouped by the
+  * PURCHASED pid, not the funding pid), 53 close (deactivate + credit
+  * addedissuertokens exactly once), 55/56 grant/revoke net, 70
+  * change-issuer, 73/74 delegate — ordered by serial. Tiny groups
+  * (a property's lifecycle history), one shuffle on propertyid.
   */
 object PropertyRegistry {
+
+  private val LifecycleTypes = Set(50, 51, -51, 53, 54, 55, 56, 70, 73, 74)
+
   def derive(txs: Dataset[(RawTx, Long)]): Dataset[SmartProperty] = {
     val spark = txs.sparkSession
     import spark.implicits._
     txs
       .filter { case (tx, _) =>
-        tx.valid && Set(50, 51, 54, 70).contains(tx.type_int)
+        tx.valid && LifecycleTypes.contains(tx.type_int)
       }
-      .groupByKey(_._1.propertyid)
+      // a -51 purchase's propertyid is the FUNDING property; the tokens
+      // are minted in purchasedpropertyid (sql.py:2180-2232)
+      .groupByKey { case (tx, _) =>
+        if (tx.type_int == -51) tx.purchasedpropertyid else tx.propertyid
+      }
       .mapGroups { (pid, it) =>
         val events = it.toSeq.sortBy(_._2)
-        val create = events.find(e => e._1.type_int != 70)
+        val create = events.find(e => Set(50, 51, 54).contains(e._1.type_int))
         val (ctx, cserial) = create.getOrElse(events.head)
         var issuer = ctx.sendingaddress
-        events.foreach {
-          case (tx, _) if tx.type_int == 70 =>
-            issuer = tx.referenceaddress.getOrElse(tx.sendingaddress)
-          case _ => ()
+        var delegate = ""
+        var active = ctx.type_int == 51
+        var participants = 0L
+        var purchased = 0L
+        var issuerTokens = 0L
+        var granted = 0L
+        events.foreach { case (tx, _) =>
+          tx.type_int match {
+            case -51 =>
+              participants += 1
+              purchased += Amounts.toBase(tx.purchasedtokens,
+                tx.purchaseddivisible)
+              issuerTokens += Amounts.toBase(tx.issuertokens,
+                tx.purchaseddivisible)
+            case 53 =>
+              // credited exactly once at close (sql.py:1485-1501)
+              if (active)
+                issuerTokens += Amounts.toBase(tx.addedissuertokens,
+                  tx.divisible)
+              active = false
+            case 55 => granted += Amounts.toBase(tx.amount, tx.divisible)
+            case 56 => granted -= Amounts.toBase(tx.amount, tx.divisible)
+            case 70 =>
+              issuer = tx.referenceaddress.getOrElse(tx.sendingaddress)
+            case 73 =>
+              delegate = tx.referenceaddress.getOrElse("")
+            case 74 => delegate = ""
+            case _ => ()
+          }
         }
+        // assembled PropertyData payload (sql.py:1565-1575 + jsonb column)
+        def esc(s: String) = s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        }
+        val json = s"""{"name":"${esc(ctx.propertyname)}","category":"${esc(
+            ctx.propertycategory)}","subcategory":"${esc(
+            ctx.propertysubcategory)}","url":"${esc(
+            ctx.propertyurl)}","data":"${esc(
+            ctx.propertydata)}","divisible":${ctx.divisible}}"""
         SmartProperty(pid, issuer, ctx.ecosystem, ctx.propertyname,
           ctx.divisible, managed = ctx.type_int == 54, cserial,
-          events.map(_._2).max)
+          events.map(_._2).max,
+          propertyType = if (ctx.divisible) 2 else 1,
+          category = ctx.propertycategory,
+          subcategory = ctx.propertysubcategory,
+          url = ctx.propertyurl,
+          data = ctx.propertydata,
+          propertyDataJson = json,
+          crowdsale = ctx.type_int == 51,
+          crowdsaleActive = active,
+          participantCount = participants,
+          tokensPurchased = purchased,
+          issuerTokens = issuerTokens,
+          granted = granted,
+          delegate = delegate)
       }
   }
 }

@@ -314,6 +314,62 @@ object LedgerQueries {
       .orderBy("block")
   }
 
+  /** Per-property USD valuation per block (A5 value payload,
+    * sql.py:276-306): event flows become per-block per-property volumes,
+    * a two-epoch rate HISTORY goes through the latest-per-pair view (so
+    * the stale rows must lose) and the integer micro-USD product is
+    * checked relationally. Odd pids are non-divisible, even pids
+    * divisible (÷1e8) — both valuation branches exercised.
+    */
+  val usdValuation = Q(
+    "a5_usd_valuation",
+    """WITH f AS (SELECT
+      |    CAST(epoch_us(ts) // 1000000 AS BIGINT) // 3600 AS block,
+      |    1 + user_id % 5 AS pid,
+      |    CAST(round(value * 100) AS BIGINT) AS delta,
+      |    event_type <> 'error' AS valid,
+      |    event_type = 'click' AS is_buyer
+      |  FROM events),
+      |v AS (SELECT block, pid,
+      |    coalesce(sum(CASE WHEN valid THEN abs(delta) END), 0) AS volume,
+      |    count(CASE WHEN valid THEN 1 END) AS tx_count,
+      |    count(CASE WHEN NOT valid THEN 1 END) AS invalid_count
+      |  FROM f WHERE NOT is_buyer GROUP BY 1, 2)
+      |SELECT block, CAST(pid AS BIGINT) AS property_id,
+      |  CAST(volume AS BIGINT) AS volume, tx_count, invalid_count,
+      |  CAST(CAST(volume AS HUGEINT) * ((pid * 13 + 7) * 1000000)
+      |    * 6000000
+      |    // (CASE WHEN pid % 2 = 0 THEN 1000000000000 ELSE 10000 END)
+      |    AS BIGINT) AS value_usd_micros
+      |FROM v ORDER BY block, property_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.{Markets, RatesEtl}
+    val flows = t(s, dir, "events")
+      .select(
+        expr("unix_timestamp(ts) div 3600").as("block"),
+        (lit(1L) + $"user_id" % 5).as("propertyId"),
+        round($"value" * 100).cast(LongType).as("delta"),
+        ($"event_type" =!= "error").as("valid"),
+        when($"event_type" === "click", "buyer").otherwise("seller")
+          .as("role"),
+        ($"user_id" % 5 % 2 === 1).as("divisible"))
+    // history with a stale epoch per pair: currentRates must pick asOf=2
+    val history = s.createDataset(
+      (1L to 5L).flatMap { pid =>
+        Seq(RatesEtl.Rate("Bitcoin", 0, "Omni", pid, pid * 999.0, 1, "stale"),
+          RatesEtl.Rate("Bitcoin", 0, "Omni", pid, (pid * 13 + 7) / 100.0,
+            2, "fresh"))
+      } ++ Seq(
+        RatesEtl.Rate("Fiat", 0, "Bitcoin", 0, 55555.0, 1, "stale"),
+        RatesEtl.Rate("Fiat", 0, "Bitcoin", 0, 60000.0, 2, "fresh")))
+    Markets.txValueStats(flows, history)
+      .select($"block", $"propertyId".as("property_id"),
+        $"volume", $"txCount".as("tx_count"),
+        $"invalidCount".as("invalid_count"),
+        $"valueUsdMicros".as("value_usd_micros"))
+      .orderBy("block", "property_id")
+  }
+
   /** The flagship serving view through the DOMAIN operators (J9,
     * SQLstatements.md:15-86): decoder-derived balances ⋈ wallet
     * membership ⋈ broadcast rates with value projections — the full
@@ -363,5 +419,5 @@ object LedgerQueries {
   }
 
   val all: Seq[Q] = Seq(simpleSend, sendAll, stoDecode, dexFold, btcUtxo,
-    txStatsDomain, walletServe)
+    txStatsDomain, usdValuation, walletServe)
 }
