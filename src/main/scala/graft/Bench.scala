@@ -24,6 +24,24 @@ object Bench {
         |  FROM (SELECT explode(transform(sequence(1, 60000),
         |          i -> concat('w', cast(i AS string)))) AS x))
         |""".stripMargin).collect()
+    // Per-plan warm-up: the historically variance-heavy queries (2-4x
+    // single-run swings from cold C2/Janino on their digest/fold/join
+    // codegen) get one untimed run at sf0.001 so the timed run at the
+    // target SF measures steady-state throughput, not JIT warm-up.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) {
+      val qmap = SparkEntry.queries
+      Seq("dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
+        "j6_json_theta_join", "dex_lifecycle_fold",
+        "j9_wallet_domain_serve").foreach { n =>
+        qmap.get(n).foreach { fn =>
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
+      }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()

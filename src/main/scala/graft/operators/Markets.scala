@@ -93,8 +93,17 @@ object Markets {
 
   /** A5 — per-block tx stats with a trailing 24-h window
     * (sql.py:266,276): counts per block + RANGE frame over epoch
-    * seconds. At scale the window shuffles once on nothing heavier than
-    * one row per block.
+    * seconds.
+    *
+    * The trailing window is PARTITIONED by UTC day with a one-day
+    * overlap union instead of a global ORDER BY: a row at time T only
+    * ever looks back to T−86400 ≥ (day−1)·86400, so copying each
+    * per-block row into the NEXT day's partition as frame context
+    * (dropped after the window) makes day partitions independent — no
+    * single-task serial stage over the whole chain history, 2× tiny
+    * rows through the exchange. Each source block contributes exactly
+    * once per partition (own copy in its day, context copy in day+1),
+    * so counts don't double.
     */
   def txStats(txs: Dataset[(RawTx, Long)]): DataFrame = {
     val spark = txs.sparkSession
@@ -108,9 +117,17 @@ object Markets {
         count(lit(1)).as("txCount"),
         count(when($"valid", 1)).as("validCount"),
         count(when(!$"valid", 1)).as("invalidCount"))
-    val w = Window.orderBy($"blockTime").rangeBetween(-86400L, 0)
-    perBlock
+      .withColumn("day", expr("blockTime div 86400"))
+    val withContext = perBlock.withColumn("isOwn", lit(true))
+      .unionByName(perBlock
+        .withColumn("day", $"day" + 1)
+        .withColumn("isOwn", lit(false)))
+    val w = Window.partitionBy($"day").orderBy($"blockTime")
+      .rangeBetween(-86400L, 0)
+    withContext
       .withColumn("txCount24h", sum($"txCount").over(w))
       .withColumn("blockCount24h", count(lit(1)).over(w))
+      .where($"isOwn")
+      .drop("day", "isOwn")
   }
 }

@@ -100,7 +100,14 @@ object JoinQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  /** J6 — equi join + JSON-path theta predicate (sql.py:1427-1440). */
+  /** J6 — equi join + JSON-path theta predicate (sql.py:1427-1440).
+    * The JSON path is projected BEFORE the join and the wide `props`
+    * string dropped, so the exchange carries (user_id, k) instead of the
+    * full payload and the JSON parses once per input row, not once per
+    * join output row — the predicate referencing both sides then
+    * evaluates post-join on two narrow longs (PlanSpec asserts the
+    * exchange schema).
+    */
   val j6 = Q(
     "j6_json_theta_join",
     """SELECT c_nationkey, count(*) AS n
@@ -108,10 +115,13 @@ object JoinQueries {
       |WHERE CAST(json_extract_string(e.props, '$.k') AS BIGINT)
       |      > CAST(c.c_nationkey AS BIGINT)
       |GROUP BY 1 ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
-    val k = get_json_object(col("props"), "$.k").cast(LongType)
-    t(s, dir, "events")
-      .join(t(s, dir, "customer"), col("user_id") === col("c_custkey"))
-      .where(k > col("c_nationkey").cast(LongType))
+    val ev = t(s, dir, "events")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    ev.join(cust, col("user_id") === col("c_custkey"))
+      .where(col("k") > col("c_nationkey").cast(LongType))
       .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
       .orderBy("c_nationkey")
   }

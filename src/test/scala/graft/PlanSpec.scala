@@ -79,6 +79,19 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$p")
   }
 
+  test("J6: JSON path projected pre-join — no exchange carries the props payload") {
+    val df = JoinQueries.j6.run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // every exchange row schema must be narrow (user_id/k or customer
+    // keys) — the wide JSON string stays below its scan's projection
+    p.linesIterator.filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("props"), s"props crossed an exchange:\n$p")
+    }
+    val readSchema = p.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(readSchema.contains("props")) // parsed scan-side, then dropped
+  }
+
   test("sampling: stratified downsample is map-side only — no hash shuffle, no join, no agg") {
     val p = plan(graft.queries.CurationQueries.stratified)
     assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
