@@ -418,6 +418,41 @@ object LedgerQueries {
       .orderBy("walletId", "address")
   }
 
+  /** Address tx-history serving with the reference's pagination
+    * contract (SQLstatements.md:87-124): ledger ⋈ tx dimension ordered
+    * by submit time, LIMIT/OFFSET page. The (submit, serial) total
+    * order makes the page content deterministic — exactly what the
+    * oracle's LIMIT 25 OFFSET 10 must reproduce row-for-row.
+    */
+  val addressHistory = Q(
+    "j9_address_history",
+    """SELECT address, serial, submit_sec, delta_cents
+      |FROM (SELECT 'U' || CAST(user_id % 7 AS VARCHAR) AS address,
+      |        event_id AS serial,
+      |        CAST(epoch_us(ts) // 1000000 AS BIGINT) AS submit_sec,
+      |        CAST(round(value * 100) AS BIGINT) AS delta_cents
+      |      FROM events)
+      |WHERE address = 'U3'
+      |ORDER BY submit_sec, serial
+      |LIMIT 25 OFFSET 10""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.serving.WalletViews
+    val ev = t(s, dir, "events")
+      .select($"event_id", $"user_id", unix_timestamp($"ts").as("sec"),
+        round($"value" * 100).cast(LongType).as("cents"))
+    val ledger = ev.as[(Long, Long, Long, Long)].map {
+      case (eid, uid, _, cents) =>
+        LedgerEntry(s"U${uid % 7}", 31L, "Omni", eid, 0, "recipient",
+          cents, 0, 0, 0, 0)
+    }
+    val txDim = ev.select($"event_id".as("txDbSerialNum"),
+      $"sec".as("submitTime"))
+    WalletViews.addressHistory(ledger, txDim, "U3", limit = 25, offset = 10)
+      .select($"address", $"txDbSerialNum".as("serial"),
+        $"submitTime".as("submit_sec"),
+        $"availableDelta".as("delta_cents"))
+  }
+
   val all: Seq[Q] = Seq(simpleSend, sendAll, stoDecode, dexFold, btcUtxo,
-    txStatsDomain, usdValuation, walletServe)
+    txStatsDomain, usdValuation, walletServe, addressHistory)
 }

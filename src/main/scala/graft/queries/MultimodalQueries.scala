@@ -45,11 +45,22 @@ object MultimodalQueries {
     * the "decoder" (STUB: deterministic byte-sum features over the blob)
     * is called once per row inside the partition iterator, and the
     * output schema is declared up front. Swapping the stub for a real
-    * image/audio codec changes only `decodeStub`. No oracle — DuckDB
-    * can't express the partition-iterator contract; the driver records a
-    * rows-only check, and the ScalaTest spec pins the values.
+    * image/audio codec changes only `decodeStub`. The stub's features
+    * ARE relational for an ASCII corpus (byte-sum = Σ ascii codes,
+    * header = big-endian first-4-bytes int), so DuckDB re-derives them
+    * and the partition-iterator contract gets a full hash gate, not a
+    * rows-only check.
     */
-  val decodeBatch = Q.noOracle("mm_decode_batch") { (s, dir) =>
+  val decodeBatch = Q(
+    "mm_decode_batch",
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  CAST(list_sum(list_transform(string_split(text, ''),
+      |    c -> ascii(c))) AS BIGINT) AS feat_sum,
+      |  CAST(CASE WHEN length(text) = 0 THEN 0
+      |    ELSE CAST('0x' || lower(hex(encode(substr(text, 1, 4))))
+      |      AS BIGINT) END AS BIGINT) AS feat_head
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), expr("encode(text, 'utf-8')").as("blob"))
     val outSchema = StructType(Seq(

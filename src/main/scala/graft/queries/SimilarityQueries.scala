@@ -49,8 +49,13 @@ object SimilarityQueries {
   /** Brute-force cosine top-k for a fixed query set (vec_id < 8) over
     * all candidates — the exact baseline every ANN variant is measured
     * against. At scale: broadcast the query set, one pass over the
-    * corpus, per-query top-k via partial aggregation (TakeOrdered), no
-    * shuffle of the corpus.
+    * corpus, and a TWO-PHASE top-k — each input partition reduces to
+    * ≤k rows per query (sort_array+slice inside a partial agg keyed by
+    * (qid, partition)), then the final agg merges k·P survivors — so no
+    * stage ever funnels the full candidate set through one task per
+    * query (a per-query row_number window would cap parallelism at
+    * #queries). Ties break on cid, identical to the oracle's
+    * row_number ordering.
     */
   val annBrute = Q(
     "ann_cosine_topk",
@@ -77,14 +82,23 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("q").as("qa"), col("nq").as("na"))
     val cands = base
       .select(col("vec_id").as("cid"), col("q").as("qb"), col("nq").as("nb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos_micros").desc, col("cid").asc)
-    broadcast(queries).join(cands, col("cid") =!= col("qid"))
+    val scored = broadcast(queries).join(cands, col("cid") =!= col("qid"))
       .withColumn("dot", expr(sparkDot))
       .withColumn("cos_micros", expr(cosMicros))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= 10)
-      .select("qid", "rank", "cid", "cos_micros")
+      .select(col("qid"),
+        struct((-col("cos_micros")).as("neg"), col("cid"),
+          col("cos_micros")).as("rec"))
+    val partial = scored
+      .withColumn("part", spark_partition_id())
+      .groupBy("qid", "part")
+      .agg(slice(sort_array(collect_list(col("rec"))), 1, 10).as("top"))
+    partial
+      .select(col("qid"), explode(col("top")).as("rec"))
+      .groupBy("qid")
+      .agg(slice(sort_array(collect_list(col("rec"))), 1, 10).as("top"))
+      .selectExpr("qid", "posexplode(top) AS (pos, rec)")
+      .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("rec.cid").as("cid"), col("rec.cos_micros").as("cos_micros"))
       .orderBy("qid", "rank")
   }
 

@@ -30,12 +30,22 @@ object WalletViews {
   }
 
   /** Tx history for an address (SQLstatements.md:87-124, :143-160):
-    * ledger rows ⋈ tx dimension, newest first.
+    * ledger rows ⋈ tx dimension, ordered by submit time as the
+    * reference's serving query does, paginated with limit/offset. The
+    * (submitTime, serial, index) key is a total order, so every page is
+    * deterministic — the pagination contract the wallet UI relies on.
+    * The address filter hits the ledger scan (predicate pushdown), so
+    * the sort ranks one address's history, not the table.
+    *
+    * `txDim` columns: txDbSerialNum, submitTime.
     */
-  def addressHistory(ledger: Dataset[LedgerEntry], address: String,
-      limit: Int = 50): DataFrame =
+  def addressHistory(ledger: Dataset[LedgerEntry], txDim: DataFrame,
+      address: String, limit: Int = 50, offset: Int = 0): DataFrame =
     ledger.where(col("address") === address)
-      .orderBy(col("txDbSerialNum").desc, col("addressTxIndex").asc)
+      .join(txDim, Seq("txDbSerialNum"))
+      .orderBy(col("submitTime").asc, col("txDbSerialNum").asc,
+        col("addressTxIndex").asc)
+      .offset(offset)
       .limit(limit)
       .toDF()
 
