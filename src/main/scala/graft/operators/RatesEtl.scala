@@ -69,6 +69,34 @@ object RatesEtl {
   }
 }
 
+/** Consensus-hash stamping (reference sql.py:221-229
+  * updateConsensusHash: the node's omni_getcurrentconsensushash is
+  * written onto the block row each cycle): the engine-side analog is a
+  * deterministic digest over the derived balance state, so two
+  * derivations (or a derivation and a node) can be compared by 24 bytes
+  * instead of shipping the state.
+  *
+  * The digest is ORDER-INDEPENDENT — per-row sha256 of the canonical
+  * `address|propertyId|available|reserved` line, combined with xor +
+  * modular sum + count aggregates — so it computes with map-side
+  * partials in one pass, no global sort: the shape that holds when the
+  * state is billions of rows. (A sorted-stream sha would serialize the
+  * reduce; equality discrimination is the same.)
+  */
+object ConsensusHash {
+  import graft.model.AddressBalance
+
+  def stateDigest(balances: Dataset[AddressBalance]): DataFrame =
+    balances.toDF()
+      .select(expr(
+        """cast(conv(substring(sha2(concat_ws('|', address, propertyId,
+          |  available, reserved), 256), 1, 15), 16, 10) as bigint)"""
+          .stripMargin).as("h"))
+      .agg(expr("bit_xor(h)").as("xor_digest"),
+        sum(col("h") % 1000000007L).cast("long").as("sum_digest"),
+        count(lit(1)).as("n_rows"))
+}
+
 /** A12/J11 — consensus reconciliation (reference sql.py:1205-1316
   * checkbalances_MP): full outer join of derived balances vs the node's
   * authoritative snapshot; every row classified OK / Missing / Mismatch.

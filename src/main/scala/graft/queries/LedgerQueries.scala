@@ -453,6 +453,49 @@ object LedgerQueries {
         $"availableDelta".as("delta_cents"))
   }
 
+  /** Consensus-hash stamping (sql.py:221-229): the full decoder →
+    * balances path runs, then the order-independent state digest; the
+    * oracle re-derives the identical balances relationally and hashes
+    * the same canonical lines. A single mismatched balance row anywhere
+    * flips both digests — this is the 24-byte state-equality check the
+    * reference gets from the node each cycle.
+    */
+  val consensusHash = Q(
+    "consensus_hash",
+    """WITH ser AS (SELECT o_orderkey, o_custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS units
+      |  FROM orders),
+      |flows AS (
+      |  SELECT 'C' || CAST(o_custkey AS VARCHAR) AS address,
+      |    -units AS delta FROM ser
+      |  UNION ALL
+      |  SELECT 'M', units FROM ser),
+      |bal AS (SELECT address, CAST(sum(delta) AS BIGINT) AS available
+      |  FROM flows GROUP BY 1),
+      |h AS (SELECT CAST(('0x' || substr(sha256(address || '|31|' ||
+      |    CAST(available AS VARCHAR) || '|0'), 1, 15)) AS BIGINT) AS h
+      |  FROM bal)
+      |SELECT CAST(bit_xor(h) AS BIGINT) AS xor_digest,
+      |  CAST(sum(h % 1000000007) AS BIGINT) AS sum_digest,
+      |  count(*) AS n_rows
+      |FROM h""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val txs = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice" * 100).cast(LongType).as("units"))
+      .as[(Long, Long, Long)]
+    val stamped = OmniPipeline.stamp(txs, col("o_orderkey"))
+    val ledger = stamped.flatMap { case ((ok, ck, units), ser) =>
+      LedgerDecoder.decode(RawTx(txid = f"$ok%016x", protocol = "Omni",
+        sendingaddress = s"C$ck", referenceaddress = Some("M"),
+        type_int = 0, version = 0, valid = true, block = ok,
+        blocktime = 0, positioninblock = 0, propertyid = 31,
+        divisible = false, amount = BigDecimal(units)), ser)
+    }
+    graft.operators.ConsensusHash.stateDigest(Balances.derive(ledger))
+  }
+
   val all: Seq[Q] = Seq(simpleSend, sendAll, stoDecode, dexFold, btcUtxo,
-    txStatsDomain, usdValuation, walletServe, addressHistory)
+    txStatsDomain, usdValuation, walletServe, addressHistory,
+    consensusHash)
 }
