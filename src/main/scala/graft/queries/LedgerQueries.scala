@@ -495,7 +495,72 @@ object LedgerQueries {
     graft.operators.ConsensusHash.stateDigest(Balances.derive(ledger))
   }
 
+  /** Freeze sequencer (185/186, sql.py:2344-2356 snapshot +
+    * :1408-1414 receive-while-frozen redirect) against a closed-form
+    * oracle. Restricted construction: per user one freeze at the FIRST
+    * event serial (every third user), optionally an unfreeze strictly
+    * after the last event (users ≡1 mod 3), nothing otherwise. With one
+    * freeze window the fold collapses to conditional sums: while
+    * frozen, credits land in `frozen`, debits still hit `available`,
+    * and an unfreeze returns the pot — all expressible relationally.
+    * The Spark side runs the REAL order-dependent sequencer
+    * ([[Balances.deriveWithFreezes]]), including the fast-path/fold
+    * routing (users ≡2 mod 3 take the cold aggregate path).
+    */
+  val freezeFold = Q(
+    "freeze_sequencer",
+    """WITH e AS (SELECT user_id, event_id,
+      |    CASE WHEN event_type = 'purchase'
+      |      THEN -CAST(round(value * 100) AS BIGINT)
+      |      ELSE CAST(round(value * 100) AS BIGINT) END AS d
+      |  FROM events),
+      |b AS (SELECT user_id, min(event_id) AS f, max(event_id) AS l
+      |  FROM e GROUP BY 1),
+      |j AS (SELECT e.user_id, e.event_id, e.d, b.f, b.l,
+      |    e.user_id % 3 AS grp
+      |  FROM e JOIN b ON e.user_id = b.user_id)
+      |SELECT 'U' || CAST(user_id AS VARCHAR) AS address,
+      |  CAST(CASE WHEN grp = 0
+      |    THEN coalesce(sum(CASE WHEN event_id > f AND d < 0 THEN d END), 0)
+      |    ELSE sum(d) END AS BIGINT) AS available,
+      |  CAST(CASE WHEN grp = 0
+      |    THEN coalesce(sum(CASE WHEN event_id = f THEN d END), 0)
+      |       + coalesce(sum(CASE WHEN event_id > f AND d > 0 THEN d END), 0)
+      |    ELSE 0 END AS BIGINT) AS frozen,
+      |  grp = 0 AS frozen_flag,
+      |  CAST(CASE WHEN grp = 1 THEN max(l) + 1 ELSE max(l) END
+      |    AS BIGINT) AS last_serial
+      |FROM j GROUP BY user_id, grp ORDER BY address""".stripMargin) {
+    (s, dir) =>
+    import s.implicits._
+    val e = t(s, dir, "events")
+      .select($"user_id", $"event_id",
+        when($"event_type" === "purchase",
+          -round($"value" * 100).cast(LongType))
+          .otherwise(round($"value" * 100).cast(LongType)).as("d"))
+      .as[(Long, Long, Long)]
+    val ledger = e.map { case (uid, eid, d) =>
+      LedgerEntry(s"U$uid", 31L, "Omni", eid, 0, "recipient", d, 0, 0, 0, 0)
+    }
+    val freezes = e.groupBy($"user_id")
+      .agg(min($"event_id").as("f"), max($"event_id").as("l"))
+      .as[(Long, Long, Long)]
+      .flatMap { case (uid, f, l) =>
+        (uid % 3) match {
+          case 0 => Seq(FreezeEvent(s"U$uid", 31L, f, freeze = true))
+          case 1 => Seq(FreezeEvent(s"U$uid", 31L, f, freeze = true),
+            FreezeEvent(s"U$uid", 31L, l + 1, freeze = false))
+          case _ => Nil
+        }
+      }
+    Balances.deriveWithFreezes(ledger, freezes)
+      .select($"address", $"available", $"frozen",
+        $"frozenFlag".as("frozen_flag"),
+        $"lastTxDbSerialNum".as("last_serial"))
+      .orderBy("address")
+  }
+
   val all: Seq[Q] = Seq(simpleSend, sendAll, stoDecode, dexFold, btcUtxo,
     txStatsDomain, usdValuation, walletServe, addressHistory,
-    consensusHash)
+    consensusHash, freezeFold)
 }

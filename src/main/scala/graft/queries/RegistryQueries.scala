@@ -137,5 +137,45 @@ object RegistryQueries {
       .orderBy("property_id")
   }
 
-  val all: Seq[Q] = Seq(registry)
+  /** M3 — time-based crowdsale expiry sweep (expireCrowdsales
+    * sql.py:1420-1444): crowdsales past their deadline produce a
+    * synthetic type-53 close unless an explicit close already exists
+    * (anti-join suppression). Orders become crowdsale creates (deadline
+    * = order date), 'F' orders have explicit closes; the oracle is the
+    * same filter + anti-join relationally.
+    */
+  val crowdsaleExpiry = Q(
+    "m3_crowdsale_expiry",
+    """SELECT o_orderkey AS property_id,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS close_epoch,
+      |  CAST(o_orderkey % 500 AS BIGINT) AS bonus
+      |FROM orders
+      |WHERE epoch(o_orderdate) <= 820454400 AND o_orderstatus <> 'F'
+      |ORDER BY property_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.CrowdsaleExpiry
+    val orders = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        unix_timestamp($"o_orderdate").as("deadline"), $"o_orderstatus")
+    def create(k: Long, c: Long): RawTx =
+      RawTx(txid = f"$k%016x", protocol = "Omni",
+        sendingaddress = s"I$c", referenceaddress = None, type_int = 51,
+        version = 0, valid = true, block = k, blocktime = 0,
+        positioninblock = 0, propertyid = k, divisible = false,
+        amount = BigDecimal(0),
+        addedissuertokens = BigDecimal(k % 500))
+    val creates = orders.as[(Long, Long, Long, String)]
+      .map { case (k, c, dl, _) => (create(k, c), dl) }
+    val explicit = orders.where($"o_orderstatus" === "F")
+      .as[(Long, Long, Long, String)]
+      .map { case (k, c, _, _) => create(k, c).copy(type_int = 53) }
+    CrowdsaleExpiry.syntheticCloses(creates, explicit,
+        nowEpoch = 820454400L)
+      .select($"propertyid".as("property_id"),
+        $"blocktime".as("close_epoch"),
+        $"addedissuertokens".cast(LongType).as("bonus"))
+      .orderBy("property_id")
+  }
+
+  val all: Seq[Q] = Seq(registry, crowdsaleExpiry)
 }
