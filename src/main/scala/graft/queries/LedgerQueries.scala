@@ -560,7 +560,52 @@ object LedgerQueries {
       .orderBy("address")
   }
 
+  /** Pending-tx reconcile (sql.py:314-455): still-live pendings =
+    * pending set MINUS confirmed twins (anti-join on txid) MINUS
+    * expired (5-h horizon). Events with type≠'click' are confirmed;
+    * every even-user event is also pending — so live pendings are
+    * exactly the even-user clicks inside the horizon, which is what
+    * the oracle computes.
+    */
+  val pendingReconcile = Q(
+    "pending_reconcile",
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec FROM events),
+      |mx AS (SELECT (min(sec) + max(sec)) // 2 AS cut FROM e)
+      |SELECT e.event_id AS pending_id, e.sec AS submit_sec
+      |FROM e, mx
+      |WHERE e.user_id % 2 = 0
+      |  AND e.sec > mx.cut
+      |  AND e.event_type = 'click'
+      |ORDER BY pending_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.Pending
+    val e = t(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type",
+        unix_timestamp($"ts").as("sec"))
+      .as[(Long, Long, String, Long)]
+    def raw(eid: Long, sec: Long): RawTx =
+      RawTx(txid = f"$eid%016x", protocol = "Omni", sendingaddress = "X",
+        referenceaddress = None, type_int = 0, version = 0, valid = true,
+        block = 0, blocktime = sec, positioninblock = 0, propertyid = 31,
+        divisible = false, amount = BigDecimal(0))
+    val confirmed = e.filter(_._3 != "click")
+      .map { case (eid, _, _, sec) => raw(eid, sec) }
+    val pending = e.filter(_._2 % 2 == 0)
+      .map { case (eid, _, _, sec) => raw(eid, sec) }
+    // `now` is a query parameter (the reference uses the wall clock).
+    // Center the horizon on the data's midpoint so BOTH legs carry
+    // rows: pendings before the cut expire, later ones stay live. Two
+    // scalar aggregates, not a data-path collect.
+    val r = e.select(min($"sec").as("mn"), max($"sec").as("mx")).head()
+    val now = (r.getLong(0) + r.getLong(1)) / 2 + Pending.ExpirySeconds
+    Pending.reconcile(confirmed, pending, now)
+      .select(conv($"txid", 16, 10).cast(LongType).as("pending_id"),
+        $"blocktime".as("submit_sec"))
+      .orderBy("pending_id")
+  }
+
   val all: Seq[Q] = Seq(simpleSend, sendAll, stoDecode, dexFold, btcUtxo,
     txStatsDomain, usdValuation, walletServe, addressHistory,
-    consensusHash, freezeFold)
+    consensusHash, freezeFold, pendingReconcile)
 }
