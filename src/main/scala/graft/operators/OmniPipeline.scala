@@ -123,6 +123,24 @@ object PropertyRegistry {
 
   private val LifecycleTypes = Set(50, 51, -51, 53, 54, 55, 56, 70, 73, 74)
 
+  /** PropertyHistory (sql.py:1546,1591-1599: every insert/update writes
+    * a history row): the lifecycle tx stream per property — a pure
+    * projection of the fact stream, no fold needed.
+    */
+  def history(txs: Dataset[(RawTx, Long)]): org.apache.spark.sql.DataFrame = {
+    val spark = txs.sparkSession
+    import spark.implicits._
+    txs
+      .filter { case (tx, _) =>
+        tx.valid && LifecycleTypes.contains(tx.type_int)
+      }
+      .map { case (tx, s) =>
+        (if (tx.type_int == -51) tx.purchasedpropertyid else tx.propertyid,
+          s, tx.type_int)
+      }
+      .toDF("propertyId", "txDbSerialNum", "txType")
+  }
+
   def derive(txs: Dataset[(RawTx, Long)]): Dataset[SmartProperty] = {
     val spark = txs.sparkSession
     import spark.implicits._

@@ -77,10 +77,28 @@ object RegistryQueries {
       |  CAST(create_serial AS BIGINT) AS create_serial,
       |  CAST(last_serial AS BIGINT) AS last_serial
       |FROM s ORDER BY property_id""".stripMargin) { (s, dir) =>
+    PropertyRegistry.derive(lifecycleTxs(s, dir))
+      .select(col("propertyId").as("property_id"), col("issuer"),
+        col("propertyName").as("name"), col("propertyType").as("prop_type"),
+        col("category"), col("subcategory"),
+        col("crowdsale").as("is_crowdsale"),
+        col("crowdsaleActive").as("crowdsale_active"),
+        col("participantCount").as("participants"),
+        col("tokensPurchased").as("tokens_purchased"),
+        col("issuerTokens").as("issuer_tokens"),
+        col("granted"), col("delegate"),
+        col("createTxDbSerialNum").as("create_serial"),
+        col("lastTxDbSerialNum").as("last_serial"))
+      .orderBy("property_id")
+  }
+
+  /** The shared order-chain lifecycle synthesis (see [[registry]]). */
+  private def lifecycleTxs(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
     import s.implicits._
     val w = Window.partitionBy("pid").orderBy("k")
     val wc = Window.partitionBy("pid")
-    val txs = t(s, dir, "orders")
+    t(s, dir, "orders")
       .select($"o_orderkey".as("k"), $"o_custkey".as("c"),
         (lit(1L) + $"o_orderkey" % 40).as("pid"),
         round($"o_totalprice" * 100).cast(LongType).as("cents"),
@@ -122,19 +140,35 @@ object RegistryQueries {
               referenceaddress = Some(s"R$c"))
         (tx, k)
       }
-    PropertyRegistry.derive(txs)
-      .select($"propertyId".as("property_id"), $"issuer",
-        $"propertyName".as("name"), $"propertyType".as("prop_type"),
-        $"category", $"subcategory",
-        $"crowdsale".as("is_crowdsale"),
-        $"crowdsaleActive".as("crowdsale_active"),
-        $"participantCount".as("participants"),
-        $"tokensPurchased".as("tokens_purchased"),
-        $"issuerTokens".as("issuer_tokens"),
-        $"granted", $"delegate",
-        $"createTxDbSerialNum".as("create_serial"),
-        $"lastTxDbSerialNum".as("last_serial"))
-      .orderBy("property_id")
+  }
+
+  /** PropertyHistory (sql.py:1546,1591-1599): one row per lifecycle tx
+    * per property, serial-ordered — the audit trail the reference keeps
+    * alongside the registry upserts. The oracle replays the synthesis
+    * rules as a CASE over the same windows.
+    */
+  val history = Q(
+    "property_history",
+    """WITH o AS (SELECT o_orderkey AS k,
+      |    1 + o_orderkey % 40 AS pid
+      |  FROM orders),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY k) AS rn,
+      |    count(*) OVER (PARTITION BY pid) AS cnt FROM o)
+      |SELECT CAST(pid AS BIGINT) AS property_id,
+      |  CAST(k AS BIGINT) AS serial,
+      |  CAST(CASE WHEN rn = 1 THEN (CASE WHEN pid % 2 = 1 THEN 51 ELSE 54 END)
+      |       WHEN rn = cnt AND pid % 4 = 1 THEN 53
+      |       WHEN rn = cnt AND pid % 4 = 2 THEN 70
+      |       WHEN rn = cnt AND pid % 4 = 0 THEN 73
+      |       WHEN pid % 2 = 1 THEN -51
+      |       WHEN rn % 5 = 0 THEN 56
+      |       ELSE 55 END AS INT) AS tx_type
+      |FROM r ORDER BY property_id, serial""".stripMargin) { (s, dir) =>
+    PropertyRegistry.history(lifecycleTxs(s, dir))
+      .select(col("propertyId").as("property_id"),
+        col("txDbSerialNum").as("serial"),
+        col("txType").as("tx_type"))
+      .orderBy("property_id", "serial")
   }
 
   /** M3 — time-based crowdsale expiry sweep (expireCrowdsales
@@ -177,5 +211,5 @@ object RegistryQueries {
       .orderBy("property_id")
   }
 
-  val all: Seq[Q] = Seq(registry, crowdsaleExpiry)
+  val all: Seq[Q] = Seq(registry, history, crowdsaleExpiry)
 }

@@ -127,7 +127,11 @@ object SimilarityQueries {
   /** LSH-bucketed ANN (IVF-style): the query probes only its own bucket
     * — candidate set shrinks 2^4× here, arbitrarily at scale with more
     * probes. Same scoring math as the brute-force baseline, so recall
-    * loss is visible by diffing the two results.
+    * loss is visible by diffing the two results. The per-query ranking
+    * window here is fine at scale BECAUSE of the bucketing: each
+    * query's candidate set is one bucket (corpus/2^probes rows), so no
+    * task ever ranks more than a bucket — unlike the brute-force path,
+    * which needs its two-phase top-k.
     */
   val annLsh = Q(
     "ann_lsh_topk",
