@@ -194,6 +194,11 @@ object LedgerQueries {
       .where($"rn" === 1)
       .select($"user_id", $"event_id", $"sec", $"want",
         ($"user_id" % 50).as("sid"))
+      .persist()
+    // EAGER: firsts feeds both the offer amounts and the accept stream;
+    // lazy persist would let the two downstream stages race and each
+    // re-run the events scan + window.
+    firsts.count()
     val offers = firsts.groupBy("sid").agg(max("want").as("amt"))
       .as[(Long, Long)].map { case (sid, amt) =>
         (RawTx(txid = f"$sid%016x", protocol = "Omni",
@@ -218,6 +223,10 @@ object LedgerQueries {
           (sec << 20) | (eid & 0xFFFFFL))
       }
     val dex = DexLifecycle.derive(offers.union(accepts), tipBlock = 1)
+      .persist()
+    // EAGER: the offer census and the accept census both consume the
+    // fold output — unpersisted, the whole groupByKey fold runs twice.
+    dex.count()
     val off = dex.flatMap(_.offers)
       .select($"seller", $"amountAvailable".as("remaining"),
         $"amountAccepted".as("accepted_total"))
