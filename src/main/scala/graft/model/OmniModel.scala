@@ -76,8 +76,13 @@ final case class RawTx(
 final case class StoRecipient(address: String, amount: BigDecimal)
 final case class SubSend(propertyid: Long, divisible: Boolean,
     amount: BigDecimal)
+/** One purchase inside a -22 BTC payment (sql.py:1971-2027). Each
+  * purchase names its own seller, property AND that property's
+  * divisibility — one payment can settle mixed-divisibility accepts, so
+  * scaling by the payment tx's flag would zero or 1e8-inflate amounts.
+  */
 final case class DexPurchase(referenceaddress: String, propertyid: Long,
-    valid: Boolean, amountbought: BigDecimal)
+    valid: Boolean, amountbought: BigDecimal, divisible: Boolean = true)
 final case class TradeMatch(txid: String, address: String, block: Long,
     amountsold: BigDecimal, amountreceived: BigDecimal,
     tradingfee: BigDecimal)

@@ -194,7 +194,10 @@ object DexLifecycle {
         case -22 =>
           tx.purchases.filter(_.valid).foreach { p =>
             accepts.get(tx.sendingaddress).foreach { a =>
-              val bought = math.min(toBase(p.amountbought, tx.divisible),
+              // scale by the PURCHASED property's divisibility — the
+              // payment tx's own flag describes at most one of the
+              // (possibly several) properties its purchases settle
+              val bought = math.min(toBase(p.amountbought, p.divisible),
                 a.amountAccepted - a.amountPurchased)
               if (bought > 0) {
                 row(serial, seller, Seller, reserved = -bought,

@@ -64,10 +64,15 @@ object Markets {
   def txValueStats(flows: DataFrame,
       rates: Dataset[RatesEtl.Rate]): DataFrame = {
     val cur = RatesEtl.currentRates(rates)
+    // aggregate to exactly ONE row even when no fiat rate exists yet —
+    // an inner cross-join against an empty dim would drop the volume
+    // counts too; valuation degrades to 0 instead (matches the pid-rate
+    // left join below)
     val btcUsd = cur.where(col("protocol1") === "Fiat" &&
         col("protocol2") === "Bitcoin" &&
         col("propertyId1") === 0 && col("propertyId2") === 0)
-      .select(round(col("rate1for2") * 100).cast("long").as("btc_usd_e2"))
+      .agg(coalesce(max(round(col("rate1for2") * 100).cast("long")),
+        lit(0L)).as("btc_usd_e2"))
     val pidRates = cur.where(col("protocol1") === "Bitcoin" &&
         col("protocol2") === "Omni")
       .select(col("propertyId2").as("propertyId"),

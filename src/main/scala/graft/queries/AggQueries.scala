@@ -17,14 +17,10 @@ import graft.Tables.t
   */
 object AggQueries {
 
-  /** Signed ledger delta in exact integer cents (the 2-dp synthetic money
-    * values scale losslessly ×100). Final projections stay BIGINT — never
-    * DECIMAL — so the driver's cross-engine hash is render-stable.
-    */
-  private def deltaCents =
-    when(col("event_type") === "purchase",
-      -round(col("value") * 100).cast(LongType))
-      .otherwise(round(col("value") * 100).cast(LongType))
+  // Final projections stay BIGINT — never DECIMAL — so the driver's
+  // cross-engine hash is render-stable; the shared signed-cents delta
+  // lives on Q.
+  import Q.deltaCents
 
   /** A1+A2 — running balance accumulator and after-balance snapshot
     * (sql.py:1320-1418 updateBalance; :1658-1662 finalizeAfterBalances).

@@ -274,10 +274,7 @@ object JoinQueries {
       |GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
     val ev = t(s, dir, "events")
     val tip = ev.agg(max("ts").as("mt"))
-    val delta = when(col("event_type") === "purchase",
-      -round(col("value") * 100).cast(LongType))
-      .otherwise(round(col("value") * 100).cast(LongType))
-    ev.select(col("user_id"), col("ts"), delta.as("delta"))
+    ev.select(col("user_id"), col("ts"), Q.deltaCents.as("delta"))
       .crossJoin(broadcast(tip))
       .groupBy("user_id")
       .agg(

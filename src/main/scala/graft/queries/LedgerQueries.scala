@@ -161,17 +161,16 @@ object LedgerQueries {
   val dexFold = Q(
     "dex_lifecycle_fold",
     """WITH f AS (
-      |  SELECT user_id, event_id, sec, want, user_id % 50 AS sid
+      |  SELECT user_id, event_id, want, user_id % 50 AS sid
       |  FROM (SELECT user_id, event_id,
-      |          CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec,
       |          greatest(CAST(round(value * 100) AS BIGINT), 1) AS want,
       |          row_number() OVER (PARTITION BY user_id
-      |            ORDER BY ts, event_id) AS rn
+      |            ORDER BY event_id) AS rn
       |        FROM events)
       |  WHERE rn = 1),
       |amt AS (SELECT sid, max(want) AS amt FROM f GROUP BY sid),
       |c AS (SELECT f.sid, f.want, amt.amt,
-      |        sum(f.want) OVER (PARTITION BY f.sid ORDER BY f.sec, f.event_id
+      |        sum(f.want) OVER (PARTITION BY f.sid ORDER BY f.event_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |      FROM f JOIN amt ON f.sid = amt.sid),
       |g AS (SELECT sid, amt,
@@ -185,9 +184,13 @@ object LedgerQueries {
       |FROM g GROUP BY sid ORDER BY seller""".stripMargin) { (s, dir) =>
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // The fold's per-key order IS the serial, so use event_id directly
+    // (unique at any scale — no (sec<<20)|id packing that would collide
+    // past 2^20 ids); offers sort first via negative serials, the
+    // reference's own convention for synthetic/early rows.
+    val w = Window.partitionBy("user_id").orderBy("event_id")
     val firsts = t(s, dir, "events")
-      .select($"user_id", $"event_id", $"ts",
+      .select($"user_id", $"event_id",
         unix_timestamp($"ts").as("sec"),
         greatest(round($"value" * 100).cast(LongType), lit(1L)).as("want"))
       .withColumn("rn", row_number().over(w))
@@ -207,20 +210,17 @@ object LedgerQueries {
           positioninblock = 0, propertyid = 31, divisible = false,
           amount = BigDecimal(amt), subaction = 1,
           bitcoindesired = BigDecimal(1), timelimit = Long.MaxValue / 4),
-          sid) // offer serial = sid < 2^20 ≤ any accept serial
+          -(sid + 1)) // negative serial: sorts before every accept
       }
     val accepts = firsts
       .select($"sid", $"user_id", $"event_id", $"sec", $"want")
       .as[(Long, Long, Long, Long, Long)]
       .map { case (sid, uid, eid, sec, want) =>
-        // Per-key total order without a global stamper: (sec<<20)|eid is
-        // unique and monotone in (ts, event_id) while event_id < 2^20.
         (RawTx(txid = f"$eid%016x", protocol = "Omni",
           sendingaddress = s"U$uid", referenceaddress = Some(s"S$sid"),
           type_int = 22, version = 0, valid = true, block = sec / 3600,
           blocktime = sec, positioninblock = 0, propertyid = 31,
-          divisible = false, amount = BigDecimal(want)),
-          (sec << 20) | (eid & 0xFFFFFL))
+          divisible = false, amount = BigDecimal(want)), eid)
       }
     val dex = DexLifecycle.derive(offers.union(accepts), tipBlock = 1)
       .persist()

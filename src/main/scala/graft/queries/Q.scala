@@ -29,4 +29,18 @@ object Q {
     * engine, so value-equal DECIMAL columns still hash-mismatch.
     */
   def dec(c: Column): Column = c.cast(DecimalType(20, 4))
+
+  /** Signed ledger delta over the events table in exact integer cents
+    * (the 2-dp synthetic money values scale losslessly ×100): purchases
+    * debit, everything else credits — the double-entry convention every
+    * balance query shares. One definition so the money scaling can
+    * never diverge between queries.
+    */
+  def deltaCents: Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    when(col("event_type") === "purchase",
+      -round(col("value") * 100).cast(LongType))
+      .otherwise(round(col("value") * 100).cast(LongType))
+  }
 }

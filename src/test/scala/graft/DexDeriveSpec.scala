@@ -43,4 +43,37 @@ class DexDeriveSpec extends SparkTestBase {
     assert(ledger.filter(e => e.address == C && e.txDbSerialNum == 5L)
       .map(_.reservedDelta).sum == -60000000L)
   }
+
+  test("one payment settles purchases of MIXED divisibility by the purchased property's flag") {
+    import spark.implicits._
+    val events = Seq[(graft.model.RawTx, Long)](
+      // divisible property 31 sold by A, indivisible property 32 by C
+      (sellOffer(A, BigDecimal("1"), BigDecimal("1"), timeLimit = 50,
+        pid = 31, block = 100), 1L),
+      (tx(20, C, None, pid = 32, amount = BigDecimal(10),
+        divisible = false, block = 100).copy(subaction = 1,
+        bitcoindesired = BigDecimal(1), timelimit = 50), 2L),
+      (accept(B, A, BigDecimal("0.4"), pid = 31, block = 101), 3L),
+      (tx(22, B, Some(C), pid = 32, amount = BigDecimal(7),
+        divisible = false, block = 101), 4L),
+      // ONE payment; its own divisible flag (false) describes neither
+      // purchase fully — each purchase must scale by its own property
+      (tx(-22, B, Some(A), divisible = false, block = 102).copy(
+        purchases = Seq(
+          DexPurchase(A, 31, valid = true, BigDecimal("0.4"),
+            divisible = true),
+          DexPurchase(C, 32, valid = true, BigDecimal(7),
+            divisible = false))), 5L))
+
+    val results = DexLifecycle.derive(events.toDS(), tipBlock = 110).collect()
+    val ledger = results.flatMap(_.ledger)
+    // divisible purchase scales x1e8; indivisible stays whole tokens
+    assert(ledger.filter(e => e.address == A && e.txDbSerialNum == 5L)
+      .map(_.reservedDelta).sum == -40000000L)
+    assert(ledger.filter(e => e.address == C && e.txDbSerialNum == 5L)
+      .map(_.reservedDelta).sum == -7L)
+    val accepts = results.flatMap(_.accepts)
+    assert(accepts.map(a => a.seller -> a.dexState).toMap ==
+      Map(A -> "paid-complete", C -> "paid-complete"))
+  }
 }
