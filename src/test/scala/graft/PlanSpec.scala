@@ -92,6 +92,30 @@ class PlanSpec extends SparkTestBase {
     assert(readSchema.contains("props")) // parsed scan-side, then dropped
   }
 
+  test("A5 valuation: both rate dimensions broadcast — only the (block,pid) agg shuffles") {
+    val p = plan(graft.queries.LedgerQueries.usdValuation)
+    assert(p.contains("BroadcastExchange"), s"rates not broadcast:\n$p")
+    // volumes aggregate with a partial (map-side) stage before the exchange
+    assert(p.split("HashAggregate").length - 1 >= 2)
+  }
+
+  test("A5 txStats: the 24h window is partitioned (by day), never a global single-partition window") {
+    val df = graft.queries.LedgerQueries.txStatsDomain.run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // a global window would print an Exchange SinglePartition feeding Window
+    val windowRegion = p.linesIterator.dropWhile(!_.contains("Window"))
+      .take(8).mkString("\n")
+    assert(!windowRegion.contains("SinglePartition"),
+      s"global window detected:\n$p")
+  }
+
+  test("ANN brute: two-phase top-k — partial agg keyed by (qid, partition), no ranking window") {
+    val p = plan(graft.queries.SimilarityQueries.annBrute)
+    assert(!p.contains("Window"), s"ranking window crept back in:\n$p")
+    // per-(qid, partition) partial stage + final per-qid merge
+    assert(p.split("ObjectHashAggregate").length - 1 >= 2, p)
+  }
+
   test("sampling: stratified downsample is map-side only — no hash shuffle, no join, no agg") {
     val p = plan(graft.queries.CurationQueries.stratified)
     assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
