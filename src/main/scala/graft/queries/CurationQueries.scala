@@ -102,5 +102,108 @@ object CurationQueries {
       .orderBy("lang")
   }
 
-  val all: Seq[Q] = Seq(stratified, pipeline)
+  /** Benchmark decontamination — the standard pretraining hygiene step:
+    * flag corpus documents sharing word-3-gram shingles with a held-out
+    * benchmark/eval set. The benchmark side is TINY relative to the
+    * corpus (eval suites are thousands of docs against billions), so its
+    * distinct shingle set BROADCASTS and the whole check is a map-side
+    * join + per-doc count — the corpus is never shuffled. Here the
+    * benchmark is the deterministic doc_id%97 slice of the same table.
+    */
+  val decontaminate = Q(
+    "text_decontaminate",
+    """WITH arrs AS (SELECT doc_id, string_split(lower(text), ' ') AS arr
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(arr) - 1),
+      |    i -> arr[CAST(i AS INT)] || ' ' ||
+      |      arr[CAST(i + 1 AS INT)] || ' ' ||
+      |      arr[CAST(i + 2 AS INT)]))) AS shingle
+      |  FROM arrs),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+      |corp AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+      |cnt AS (SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY 1),
+      |hit AS (SELECT c.doc_id, count(*) AS n_shared
+      |  FROM corp c JOIN bench b ON c.shingle = b.shingle GROUP BY 1)
+      |SELECT h.doc_id, h.n_shared, cnt.n_shingles,
+      |  CAST((1000 * h.n_shared) // cnt.n_shingles AS BIGINT)
+      |    AS contam_permille
+      |FROM hit h JOIN cnt ON h.doc_id = cnt.doc_id
+      |ORDER BY h.doc_id""".stripMargin) { (s, dir) =>
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+      .withColumn("arr", split(col("text"), " "))
+      .where(size(col("arr")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(arr) - 2),
+          |  i -> concat_ws(' ', element_at(arr, i), element_at(arr, i + 1),
+          |                 element_at(arr, i + 2))))""".stripMargin))
+        .as("shingle"))
+      .persist() // feeds bench, corp counts, and the join — one explode
+    sh.count()
+    val bench = sh.where(col("doc_id") % 97 === 0)
+      .select("shingle").distinct()
+    val corp = sh.where(col("doc_id") % 97 =!= 0)
+    val cnt = corp.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    corp.join(broadcast(bench), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .join(cnt, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+        expr("(1000 * n_shared) div n_shingles")
+          .cast(org.apache.spark.sql.types.LongType).as("contam_permille"))
+      .orderBy("doc_id")
+  }
+
+  /** Intra-document repetition scoring (the Gopher/C4 duplicate-n-gram
+    * rules): fraction of repeated tokens and repeated word-3-grams per
+    * document, in exact integer permille. Pure column expressions — one
+    * scan, zero shuffles at any corpus size.
+    */
+  val repetition = Q(
+    "text_repetition",
+    """SELECT doc_id,
+      |  CAST(tok_total AS BIGINT) AS tok_total,
+      |  CAST((1000 * (tok_total - tok_distinct)) // tok_total AS BIGINT)
+      |    AS dup_tok_permille,
+      |  CAST(CASE WHEN g3_total > 0
+      |    THEN (1000 * (g3_total - g3_distinct)) // g3_total
+      |    ELSE 0 END AS BIGINT) AS dup3_permille
+      |FROM (SELECT doc_id,
+      |    len(arr) AS tok_total,
+      |    len(list_distinct(arr)) AS tok_distinct,
+      |    greatest(len(arr) - 2, 0) AS g3_total,
+      |    CASE WHEN len(arr) >= 3 THEN len(list_distinct(list_transform(
+      |      range(1, len(arr) - 1),
+      |      i -> arr[CAST(i AS INT)] || ' ' ||
+      |        arr[CAST(i + 1 AS INT)] || ' ' ||
+      |        arr[CAST(i + 2 AS INT)]))) ELSE 0 END AS g3_distinct
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS arr
+      |        FROM documents)
+      |  WHERE len(arr) > 0)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("arr"))
+      .where(size(col("arr")) > 0)
+      .select(col("doc_id"),
+        size(col("arr")).as("tok_total"),
+        size(array_distinct(col("arr"))).as("tok_distinct"),
+        greatest(size(col("arr")) - 2, lit(0)).as("g3_total"),
+        when(size(col("arr")) >= 3, size(expr(
+          """array_distinct(transform(sequence(1, size(arr) - 2),
+            |  i -> concat_ws(' ', element_at(arr, i), element_at(arr, i + 1),
+            |                 element_at(arr, i + 2))))""".stripMargin)))
+          .otherwise(0).as("g3_distinct"))
+      .select(col("doc_id"),
+        col("tok_total").cast(org.apache.spark.sql.types.LongType),
+        expr("(1000 * (tok_total - tok_distinct)) div tok_total")
+          .cast(org.apache.spark.sql.types.LongType)
+          .as("dup_tok_permille"),
+        when(col("g3_total") > 0,
+          expr("(1000 * (g3_total - g3_distinct)) div g3_total"))
+          .otherwise(0L)
+          .cast(org.apache.spark.sql.types.LongType).as("dup3_permille"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(stratified, pipeline, decontaminate, repetition)
 }
