@@ -34,7 +34,14 @@ class RandomChainSpec extends SparkTestBase {
         case 7 =>
           accept(from, to, amt, block = block, pos = pos)
         case 8 =>
-          purchase(from, to, amt, block = block, pos = pos)
+          // half the payments settle TWO sellers in one tx — the
+          // purchases[] explode path must conserve value too
+          val p1 = purchase(from, to, amt, block = block, pos = pos)
+          if (rnd.nextBoolean()) {
+            val to2 = addrs(rnd.nextInt(addrs.size))
+            p1.copy(purchases = p1.purchases :+ graft.model.DexPurchase(
+              to2, 31, valid = true, BigDecimal(rnd.nextInt(50) + 1)))
+          } else p1
         case 9 =>
           sellOffer(from, BigDecimal(0), BigDecimal(0), timeLimit = 0,
             block = block, pos = pos, subaction = 3)
