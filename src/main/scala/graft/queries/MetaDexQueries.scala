@@ -23,12 +23,15 @@ object MetaDexQueries {
 
   /** Shared synthesis: one type-21 tx per order; matches = the
     * prev/next same-customer orders, values from the LATER side's cents
-    * (the kept listing), fee = cents % 97.
+    * (the kept listing), fee = cents % 97. Persisted eagerly — the
+    * operator consumes it twice (txid→serial map + match explode), and
+    * an unpersisted input would re-run the window synthesis per
+    * consumer.
     */
   private def metaTxs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
     val w = Window.partitionBy("c").orderBy("k")
-    t(s, dir, "orders")
+    val ds = t(s, dir, "orders")
       .select($"o_orderkey".as("k"), $"o_custkey".as("c"),
         round($"o_totalprice" * 100).cast(LongType).as("cents"))
       .withColumn("pk", lag("k", 1).over(w))
@@ -52,6 +55,9 @@ object MetaDexQueries {
           desireddivisible = false,
           matches = (prev ++ next).toSeq), k)
       }
+      .persist()
+    ds.count() // EAGER: lazy persist would not dedupe racing consumers
+    ds
   }
 
   /** MetaDEx trade settlement (sql.py:2078-2101): 4 ledger rows per
