@@ -14,6 +14,20 @@ import graft.Tables.t
   */
 object CurationQueries {
 
+  // Word-3-gram shingle expression over a token array column `arr`, in
+  // its Spark and DuckDB spellings — ONE definition feeding both
+  // decontaminate and repetition (and both oracles), so the
+  // cross-engine hash can never desynchronize on the shingle shape.
+  private val shingle3Spark =
+    """array_distinct(transform(sequence(1, size(arr) - 2),
+      |  i -> concat_ws(' ', element_at(arr, i), element_at(arr, i + 1),
+      |                 element_at(arr, i + 2))))""".stripMargin
+  private val shingle3Sql =
+    """list_distinct(list_transform(range(1, len(arr) - 1),
+      |    i -> arr[CAST(i AS INT)] || ' ' ||
+      |      arr[CAST(i + 1 AS INT)] || ' ' ||
+      |      arr[CAST(i + 2 AS INT)]))""".stripMargin
+
   // The 60-bit salted hash bucket (‰) and the per-language keep-rate
   // CASE, each in its Spark and DuckDB spelling — single definition so
   // the sampler and the pipeline can never drift apart.
@@ -112,13 +126,9 @@ object CurationQueries {
     */
   val decontaminate = Q(
     "text_decontaminate",
-    """WITH arrs AS (SELECT doc_id, string_split(lower(text), ' ') AS arr
+    s"""WITH arrs AS (SELECT doc_id, string_split(lower(text), ' ') AS arr
       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-      |    range(1, len(arr) - 1),
-      |    i -> arr[CAST(i AS INT)] || ' ' ||
-      |      arr[CAST(i + 1 AS INT)] || ' ' ||
-      |      arr[CAST(i + 2 AS INT)]))) AS shingle
+      |sh AS (SELECT doc_id, unnest($shingle3Sql) AS shingle
       |  FROM arrs),
       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
       |corp AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
@@ -134,11 +144,7 @@ object CurationQueries {
       .select(col("doc_id"), lower(col("text")).as("text"))
       .withColumn("arr", split(col("text"), " "))
       .where(size(col("arr")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(1, size(arr) - 2),
-          |  i -> concat_ws(' ', element_at(arr, i), element_at(arr, i + 1),
-          |                 element_at(arr, i + 2))))""".stripMargin))
-        .as("shingle"))
+      .select(col("doc_id"), explode(expr(shingle3Spark)).as("shingle"))
       .persist() // feeds bench, corp counts, and the join — one explode
     sh.count()
     val bench = sh.where(col("doc_id") % 97 === 0)
@@ -161,7 +167,7 @@ object CurationQueries {
     */
   val repetition = Q(
     "text_repetition",
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |  CAST(tok_total AS BIGINT) AS tok_total,
       |  CAST((1000 * (tok_total - tok_distinct)) // tok_total AS BIGINT)
       |    AS dup_tok_permille,
@@ -172,36 +178,34 @@ object CurationQueries {
       |    len(arr) AS tok_total,
       |    len(list_distinct(arr)) AS tok_distinct,
       |    greatest(len(arr) - 2, 0) AS g3_total,
-      |    CASE WHEN len(arr) >= 3 THEN len(list_distinct(list_transform(
-      |      range(1, len(arr) - 1),
-      |      i -> arr[CAST(i AS INT)] || ' ' ||
-      |        arr[CAST(i + 1 AS INT)] || ' ' ||
-      |        arr[CAST(i + 2 AS INT)]))) ELSE 0 END AS g3_distinct
+      |    CASE WHEN len(arr) >= 3 THEN len($shingle3Sql)
+      |      ELSE 0 END AS g3_distinct
       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS arr
       |        FROM documents)
       |  WHERE len(arr) > 0)
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.LongType
+    // counts cast to BIGINT BEFORE the ×1000 — size() is 32-bit and a
+    // giant document would overflow the multiply (ANSI throw / wrap)
     t(s, dir, "documents")
       .select(col("doc_id"), split(lower(col("text")), " ").as("arr"))
       .where(size(col("arr")) > 0)
       .select(col("doc_id"),
-        size(col("arr")).as("tok_total"),
-        size(array_distinct(col("arr"))).as("tok_distinct"),
-        greatest(size(col("arr")) - 2, lit(0)).as("g3_total"),
-        when(size(col("arr")) >= 3, size(expr(
-          """array_distinct(transform(sequence(1, size(arr) - 2),
-            |  i -> concat_ws(' ', element_at(arr, i), element_at(arr, i + 1),
-            |                 element_at(arr, i + 2))))""".stripMargin)))
-          .otherwise(0).as("g3_distinct"))
+        size(col("arr")).cast(LongType).as("tok_total"),
+        size(array_distinct(col("arr"))).cast(LongType).as("tok_distinct"),
+        greatest(size(col("arr")).cast(LongType) - 2L, lit(0L))
+          .as("g3_total"),
+        when(size(col("arr")) >= 3,
+          size(expr(shingle3Spark)).cast(LongType))
+          .otherwise(0L).as("g3_distinct"))
       .select(col("doc_id"),
-        col("tok_total").cast(org.apache.spark.sql.types.LongType),
+        col("tok_total"),
         expr("(1000 * (tok_total - tok_distinct)) div tok_total")
-          .cast(org.apache.spark.sql.types.LongType)
-          .as("dup_tok_permille"),
+          .cast(LongType).as("dup_tok_permille"),
         when(col("g3_total") > 0,
           expr("(1000 * (g3_total - g3_distinct)) div g3_total"))
           .otherwise(0L)
-          .cast(org.apache.spark.sql.types.LongType).as("dup3_permille"))
+          .cast(LongType).as("dup3_permille"))
       .orderBy("doc_id")
   }
 

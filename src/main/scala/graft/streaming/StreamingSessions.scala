@@ -14,7 +14,11 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * Emission contract (Append mode): a session row is emitted exactly
   * once, when it CLOSES — either a later event arrives past the gap, or
   * the event-time timeout fires after the watermark passes
-  * session-end + gap.
+  * session-end + gap. Late (out-of-order) events inside the gap of the
+  * open session merge into it, extending its start downward; a late
+  * event beyond the gap BEFORE the open session is emitted as a
+  * singleton session (the one-open-session-per-user state bound means
+  * already-closed sessions cannot be reopened).
   */
 object StreamingSessions {
 
@@ -51,13 +55,26 @@ object StreamingSessions {
             sorted.foreach { e =>
               val us = e.ts.getTime * 1000L
               cur match {
-                case Some(s) if us - s.endUs <= GapUs =>
-                  cur = Some(s.copy(endUs = math.max(s.endUs, us),
-                    n = s.n + 1))
-                case Some(s) =>
+                // within the gap of EITHER session edge: merge, and let
+                // a late event extend the session's start downward —
+                // the watermark admits out-of-order data, so `us` can
+                // precede startUs
+                case Some(s) if us >= s.startUs - GapUs &&
+                    us <= s.endUs + GapUs =>
+                  cur = Some(SessionState(math.min(s.startUs, us),
+                    math.max(s.endUs, us), s.n + 1))
+                // past the gap AFTER the open session: close it, open new
+                case Some(s) if us > s.endUs + GapUs =>
                   out += Session(uid, s.startUs, s.endUs, s.n,
                     (s.endUs - s.startUs) / 1000000L)
                   cur = Some(SessionState(us, us, 1))
+                // detached LATE event, beyond the gap BEFORE the open
+                // session: it belongs to an already-gone earlier
+                // session — emit it as its own singleton rather than
+                // corrupting the open one (bounded-state approximation:
+                // only ONE open session is kept per user)
+                case Some(_) =>
+                  out += Session(uid, us, us, 1, 0L)
                 case None => cur = Some(SessionState(us, us, 1))
               }
             }

@@ -48,4 +48,25 @@ class StreamingSessionsSpec extends SparkTestBase {
       assert(byUser(1L).map(_.nEvents).sorted.toSeq == Seq(1L, 2L))
     } finally query.stop()
   }
+
+  test("a late event inside the gap extends the open session's START downward") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Click]
+    val query = StreamingSessions.run(source.toDS(), "sess_late")
+    try {
+      source.addData(click(7, 1, 100)) // open session [100, 100]
+      query.processAllAvailable()
+      // late event at 80min — within the 30min gap of startUs: merge
+      source.addData(click(7, 2, 80))
+      query.processAllAvailable()
+      // close by gap: next event 40+min after endUs
+      source.addData(click(7, 3, 200))
+      query.processAllAvailable()
+      val closed = spark.table("sess_late")
+        .as[StreamingSessions.Session].collect()
+      assert(closed.length == 1)
+      // the session spans [80, 100] — late merge lowered the start
+      assert(closed.head.nEvents == 2 && closed.head.durationSecs == 1200)
+    } finally query.stop()
+  }
 }
