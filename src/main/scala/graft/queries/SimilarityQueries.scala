@@ -85,21 +85,7 @@ object SimilarityQueries {
     val scored = broadcast(queries).join(cands, col("cid") =!= col("qid"))
       .withColumn("dot", expr(sparkDot))
       .withColumn("cos_micros", expr(cosMicros))
-      .select(col("qid"),
-        struct((-col("cos_micros")).as("neg"), col("cid"),
-          col("cos_micros")).as("rec"))
-    val partial = scored
-      .withColumn("part", spark_partition_id())
-      .groupBy("qid", "part")
-      .agg(slice(sort_array(collect_list(col("rec"))), 1, 10).as("top"))
-    partial
-      .select(col("qid"), explode(col("top")).as("rec"))
-      .groupBy("qid")
-      .agg(slice(sort_array(collect_list(col("rec"))), 1, 10).as("top"))
-      .selectExpr("qid", "posexplode(top) AS (pos, rec)")
-      .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
-        col("rec.cid").as("cid"), col("rec.cos_micros").as("cos_micros"))
-      .orderBy("qid", "rank")
+    twoPhaseTopK(scored, 10)
   }
 
   // Sign-LSH bucketing: 4 probe vectors (vec_id 0..3) act as the coarse
@@ -207,5 +193,130 @@ object SimilarityQueries {
       .orderBy("id_a", "id_b")
   }
 
-  val all: Seq[Q] = Seq(annBrute, annLsh, cosineNear)
+  /** Shared two-phase exact top-k: each input partition reduces to ≤k
+    * rows per query (sort_array+slice inside a partial agg keyed by
+    * (qid, partition)), then the final agg merges k·P survivors — no
+    * stage funnels a full candidate set through one task per query.
+    * Input: (qid, cid, cos_micros); ties break on cid ascending.
+    */
+  private def twoPhaseTopK(scored: DataFrame, k: Int): DataFrame = {
+    val partial = scored
+      .select(col("qid"),
+        struct((-col("cos_micros")).as("neg"), col("cid"),
+          col("cos_micros")).as("rec"))
+      .withColumn("part", spark_partition_id())
+      .groupBy("qid", "part")
+      .agg(slice(sort_array(collect_list(col("rec"))), 1, k).as("top"))
+    partial
+      .select(col("qid"), explode(col("top")).as("rec"))
+      .groupBy("qid")
+      .agg(slice(sort_array(collect_list(col("rec"))), 1, k).as("top"))
+      .selectExpr("qid", "posexplode(top) AS (pos, rec)")
+      .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("rec.cid").as("cid"), col("rec.cos_micros").as("cos_micros"))
+      .orderBy("qid", "rank")
+  }
+
+  // Deterministic Lloyd k-means (graft.operators.KMeans) unrolled to
+  // SQL: c0 = init vectors, a1 = first assignment, c1 = floor-mean
+  // update, a2 = final assignment. Shared by the trainer gate and the
+  // IVF probe path.
+  private val kmeansSql =
+    s"""$quantizedSql,
+      |c0 AS (SELECT vec_id AS cid, q AS c, nq AS nc FROM qn WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, q, cluster FROM (
+      |    SELECT e.vec_id, e.q, c.cid AS cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        e.nq - 2*CAST(list_dot_product(e.q, c.c) AS BIGINT) + c.nc, c.cid) AS rn
+      |    FROM qn e CROSS JOIN c0 c) WHERE rn = 1),
+      |c1 AS (
+      |  SELECT cluster AS cid, list(mv ORDER BY idx) AS c
+      |  FROM (
+      |    SELECT cluster, idx,
+      |      CAST(floor(CAST(sum(val) AS DOUBLE)/count(*)) AS DOUBLE) AS mv
+      |    FROM (SELECT cluster, unnest(q) AS val,
+      |            unnest(range(1, len(q)+1)) AS idx FROM a1)
+      |    GROUP BY cluster, idx)
+      |  GROUP BY cluster),
+      |c1n AS (SELECT cid, c, CAST(list_dot_product(c, c) AS BIGINT) AS nc FROM c1),
+      |a2 AS (
+      |  SELECT vec_id, q, nq, cluster, d2 FROM (
+      |    SELECT e.vec_id, e.q, e.nq, c.cid AS cluster,
+      |      e.nq - 2*CAST(list_dot_product(e.q, c.c) AS BIGINT) + c.nc AS d2,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        e.nq - 2*CAST(list_dot_product(e.q, c.c) AS BIGINT) + c.nc, c.cid) AS rn
+      |    FROM qn e CROSS JOIN c1n c) WHERE rn = 1)""".stripMargin
+
+  /** Deterministic k-means assignment after 2 Lloyd rounds — the IVF
+    * coarse-quantizer trainer as a first-class gated operator. See
+    * [[graft.operators.KMeans]] for the zero-shuffle assignment shape.
+    */
+  val kmeansAssign = Q(
+    "ml_kmeans_assign",
+    s"""WITH $kmeansSql
+      |SELECT vec_id, cluster, d2 FROM a2 ORDER BY vec_id""".stripMargin) {
+    (s, dir) =>
+      val base = quantized(s, dir)
+      val cs = graft.operators.KMeans.centroids(base, 8, 2)
+      graft.operators.KMeans.assign(base, cs)
+        .select("vec_id", "cluster", "d2")
+        .orderBy("vec_id")
+  }
+
+  /** IVF ANN: probe the 2 nearest k-means cells per query, exact cosine
+    * top-k within the probed cells only. At scale the candidate set per
+    * query is nprobe/k of the corpus (tunable), the cell assignment is
+    * the zero-shuffle map pass, and the cell→candidates join shuffles
+    * on cluster id — the IVF partition layout would make it a pruned
+    * scan of co-located cell files instead.
+    */
+  val annIvf = Q(
+    "ann_ivf_topk",
+    s"""WITH $kmeansSql,
+      |probes AS (SELECT vec_id AS qid, q AS pq, nq AS pn FROM qn WHERE vec_id < 8),
+      |pc AS (
+      |  SELECT qid, ccid FROM (
+      |    SELECT p.qid, c.cid AS ccid,
+      |      row_number() OVER (PARTITION BY p.qid ORDER BY
+      |        p.pn - 2*CAST(list_dot_product(p.pq, c.c) AS BIGINT) + c.nc, c.cid) AS rn
+      |    FROM probes p CROSS JOIN c1n c) WHERE rn <= 2),
+      |pairs AS (
+      |  SELECT pc.qid, a.vec_id AS cid,
+      |    CAST(list_dot_product(pr.pq, a.q) AS BIGINT) AS dot,
+      |    pr.pn AS na, a.nq AS nb
+      |  FROM pc
+      |  JOIN probes pr ON pr.qid = pc.qid
+      |  JOIN a2 a ON a.cluster = pc.ccid AND a.vec_id <> pc.qid),
+      |scored AS (
+      |  SELECT qid, cid,
+      |    CAST(floor(1000000.0 * dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cos_micros
+      |  FROM pairs),
+      |ranked AS (
+      |  SELECT qid, cid, cos_micros,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY cos_micros DESC, cid ASC) AS rank
+      |  FROM scored)
+      |SELECT qid, rank, cid, cos_micros FROM ranked WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+    import graft.operators.KMeans
+    val base = quantized(s, dir)
+    val cs = KMeans.centroids(base, 8, 2)
+    val assigned = KMeans.assign(base, cs)
+    val probed = assigned.where(col("vec_id") < 8)
+      .withColumn("pc", slice(array_sort(KMeans.distances(cs)), 1, 2))
+      .select(col("vec_id").as("qid"), col("q").as("qa"),
+        col("nq").as("na"), explode(col("pc")).as("p"))
+      .select(col("qid"), col("qa"), col("na"), col("p.cid").as("ccid"))
+    val cands = assigned.select(col("vec_id").as("cid"),
+      col("cluster"), col("q").as("qb"), col("nq").as("nb"))
+    val scored = probed
+      .join(cands, col("cluster") === col("ccid") && col("cid") =!= col("qid"))
+      .withColumn("dot", expr(sparkDot))
+      .withColumn("cos_micros", expr(cosMicros))
+    twoPhaseTopK(scored, 10)
+  }
+
+  val all: Seq[Q] =
+    Seq(annBrute, annLsh, cosineNear, kmeansAssign, annIvf)
 }
