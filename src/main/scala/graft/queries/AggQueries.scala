@@ -483,7 +483,155 @@ object AggQueries {
       .orderBy("key")
   }
 
+  /** A17 — hierarchical rollup (GROUPING SETS): one shuffle produces
+    * every aggregation level; Spark expands the grouping sets BEFORE
+    * the exchange, so partial aggregation still combines map-side. The
+    * grouping_id bit-encoding (2·grouping(rf)+grouping(ls)) matches
+    * DuckDB's GROUPING() exactly.
+    */
+  val a17 = Q(
+    "a17_rollup",
+    """SELECT coalesce(l_returnflag, '(all)') AS rf,
+      |  coalesce(l_linestatus, '(all)') AS ls,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY lvl, rf, ls""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .withColumn("cents", round(col("l_extendedprice") * 100).cast(LongType))
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast(LongType).as("lvl"),
+        count(lit(1)).as("n"), sum("cents").as("cents"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+        col("lvl"), col("n"), col("cents"))
+      .orderBy("lvl", "rf", "ls")
+  }
+
+  /** A18 — pivot (wide per-category columns from tall facts): Spark's
+    * pivot with an EXPLICIT value list stays a single groupBy (one
+    * shuffle, map-side partials); without the list it needs an extra
+    * distinct pass to discover columns — never do that at scale.
+    */
+  val a18 = Q(
+    "a18_pivot",
+    """SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+      |    FILTER (WHERE event_type = 'click'), 0) AS BIGINT) AS click_cents,
+      |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+      |    FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS purchase_cents,
+      |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+      |    FILTER (WHERE event_type = 'signup'), 0) AS BIGINT) AS signup_cents,
+      |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+      |    FILTER (WHERE event_type = 'view'), 0) AS BIGINT) AS view_cents
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .select(expr("floor(unix_micros(ts) / 86400000000)").cast(LongType)
+          .as("day"),
+        col("event_type"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "purchase", "signup", "view"))
+      .agg(sum("cents"))
+      .select(col("day"),
+        coalesce(col("click"), lit(0L)).as("click_cents"),
+        coalesce(col("purchase"), lit(0L)).as("purchase_cents"),
+        coalesce(col("signup"), lit(0L)).as("signup_cents"),
+        coalesce(col("view"), lit(0L)).as("view_cents"))
+      .orderBy("day")
+  }
+
+  /** A19 — exact percentiles (type-7 linear interpolation, the
+    * definition Spark `percentile` and DuckDB `quantile_cont` share).
+    * Integer cents in, ×100 scaling out: the interpolated value is a
+    * quarter-integer at worst, so the scaled result is an exact BIGINT
+    * in both engines. Exact percentile sorts per group — fine per
+    * bounded group; at 100 TB unbounded groups switch to
+    * approx_percentile (t-digest) and the oracle becomes a tolerance
+    * check, which is why this gate pins the EXACT variant.
+    */
+  val a19 = Q(
+    "a19_percentiles",
+    """SELECT l_returnflag,
+      |  count(*) AS n,
+      |  CAST(floor(100 * quantile_cont(cents, 0.25)) AS BIGINT) AS p25,
+      |  CAST(floor(100 * quantile_cont(cents, 0.50)) AS BIGINT) AS p50,
+      |  CAST(floor(100 * quantile_cont(cents, 0.90)) AS BIGINT) AS p90,
+      |  CAST(floor(100 * quantile_cont(cents, 0.95)) AS BIGINT) AS p95
+      |FROM (SELECT l_returnflag,
+      |        CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |      FROM lineitem)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("cents"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        floor(expr("100 * percentile(cents, 0.25)")).cast(LongType).as("p25"),
+        floor(expr("100 * percentile(cents, 0.50)")).cast(LongType).as("p50"),
+        floor(expr("100 * percentile(cents, 0.90)")).cast(LongType).as("p90"),
+        floor(expr("100 * percentile(cents, 0.95)")).cast(LongType).as("p95"))
+      .orderBy("l_returnflag")
+  }
+
+  /** W9 — distribution ranks (ntile / percent_rank / cume_dist) per
+    * order-priority band: one shuffle on the partition key, ordered
+    * within; the rank family shares a single sort. percent_rank and
+    * cume_dist are (rank−1)/(n−1) and rank/n in identical IEEE doubles
+    * both engines, floored after ×1e6.
+    */
+  val w9 = Q(
+    "w9_ntile",
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  CAST(floor(1000000 * percent_rank() OVER w) AS BIGINT) AS pr_micros,
+      |  CAST(floor(1000000 * cume_dist() OVER w) AS BIGINT) AS cd_micros
+      |FROM (SELECT o_orderkey, o_orderpriority,
+      |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |      FROM orders)
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey)
+      |ORDER BY o_orderpriority, quartile, pr_micros, o_orderkey""".stripMargin) {
+    (s, dir) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("cents"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          floor(percent_rank().over(w) * 1000000).cast(LongType)
+            .as("pr_micros"),
+          floor(cume_dist().over(w) * 1000000).cast(LongType).as("cd_micros"))
+        .orderBy(col("o_orderpriority"), col("quartile"), col("pr_micros"),
+          col("o_orderkey"))
+  }
+
+  /** A20 — multiple DISTINCT aggregates in one pass: Spark expands each
+    * row once per distinct clause (Expand) and still partial-aggregates
+    * map-side before the single exchange — the alternative (one job per
+    * distinct + join) scans the fact table N times. The non-distinct
+    * count rides along free.
+    */
+  val a20 = Q(
+    "a20_multi_distinct",
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS n_users,
+      |  count(DISTINCT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)) AS n_days,
+      |  count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        expr("floor(unix_micros(ts) / 86400000000)").cast(LongType).as("day"))
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"),
+        countDistinct("day").as("n_days"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] =
-    Seq(a1, a10, a4, a5, a6, a7, a8, a9, a11, a12, a14, a15, a16, w6, w8,
-      skew)
+    Seq(a1, a10, a4, a5, a6, a7, a8, a9, a11, a12, a14, a15, a16, a17, a18,
+      a19, a20, w6, w8, w9, skew)
 }

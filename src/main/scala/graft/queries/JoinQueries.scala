@@ -284,6 +284,46 @@ object JoinQueries {
       .orderBy("user_id")
   }
 
+
+  /** J12 — range join via the scalable decomposition: a raw
+    * `ts BETWEEN lo AND hi` theta join has no equi-key, so Spark plans
+    * a nested-loop; instead both sides get a coarse time bucket (UTC
+    * day — every interval here fits one bucket; intervals spanning
+    * buckets explode into one row per covered bucket), the join becomes
+    * an EQUI-join on the bucket, and the range predicate survives only
+    * as a residual filter. Shuffles hash-partition on the bucket —
+    * 100 TB-safe; the interval side is tiny here so it broadcasts.
+    */
+  val j12 = Q(
+    "j12_range_join",
+    """WITH iv AS (
+      |  SELECT DISTINCT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |    CAST(floor(epoch_us(ts) / 86400000000) * 86400000000 + 10800000000 AS BIGINT) AS lo,
+      |    CAST(floor(epoch_us(ts) / 86400000000) * 86400000000 + 75600000000 AS BIGINT) AS hi
+      |  FROM events)
+      |SELECT iv.day, count(*) AS n,
+      |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events e JOIN iv
+      |  ON CAST(floor(epoch_us(e.ts) / 86400000000) AS BIGINT) = iv.day
+      | AND epoch_us(e.ts) >= iv.lo AND epoch_us(e.ts) < iv.hi
+      |GROUP BY 1 ORDER BY day""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+      .select(unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      .withColumn("bucket", expr("floor(us / 86400000000)").cast(LongType))
+    // interval dim: one [03:00, 21:00) window per observed UTC day
+    val iv = ev.select(col("bucket").as("day")).distinct()
+      .select(col("day"),
+        (col("day") * 86400000000L + 10800000000L).as("lo"),
+        (col("day") * 86400000000L + 75600000000L).as("hi"))
+    ev.join(broadcast(iv),
+        col("bucket") === col("day") &&
+          col("us") >= col("lo") && col("us") < col("hi"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), sum("cents").cast(LongType).as("cents"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] =
-    Seq(j1, j2, j4, j5, j6, j9, j10a, j10s, w1, o1, o6, m2, m4)
+    Seq(j1, j2, j4, j5, j6, j9, j10a, j10s, j12, w1, o1, o6, m2, m4)
 }

@@ -55,5 +55,34 @@ object SourceQueries {
       .orderBy("n_regionkey")
   }
 
-  val all: Seq[Q] = Seq(jsonSchema, csvRoundtrip)
+  /** S10 — hive-partitioned parquet sink + partition-pruned source: the
+    * layout that matters most at 100 TB. Write events partitioned by
+    * event_type, read back ONE partition — the filter binds to the
+    * directory layout, so Spark lists and scans only that partition's
+    * files (PlanSpec asserts PartitionFilters carries the predicate and
+    * the scan reads zero data-file columns for it). The oracle filters
+    * the original parquet: proves pruning loses nothing.
+    */
+  val partitionedWrite = Q(
+    "s10_partitioned_prune",
+    """SELECT user_id, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_part").toString
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    s.read.parquet(tmp)
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast(LongType)).cast(LongType)
+          .as("cents"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(jsonSchema, csvRoundtrip, partitionedWrite)
 }

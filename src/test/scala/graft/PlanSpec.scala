@@ -123,4 +123,44 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
     assert(!p.contains("Join") && !p.contains("HashAggregate"), s"unexpected op:\n$p")
   }
+
+  test("S10: partition filter binds to the directory layout, not the data scan") {
+    val df = graft.queries.SourceQueries.partitionedWrite.run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") &&
+      p.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(event_type"),
+      s"partition pruning missing:\n$p")
+    // the pruned column must NOT be read from data files
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse("").split("ReadSchema:").last
+    assert(!readSchema.contains("event_type"), readSchema)
+  }
+
+  test("KMeans: assignment is zero-shuffle — no exchange, no join, argmin inside codegen") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val base = graft.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))").as("q"))
+      .withColumn("nq", expr("graft_ldot(q, q)"))
+    val cs = graft.operators.KMeans.centroids(base, 8, 2)
+    val p = graft.operators.KMeans.assign(base, cs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"assignment shuffled:\n$p")
+    assert(!p.contains("Join"), s"assignment joined:\n$p")
+  }
+
+  test("A17: rollup is one shuffle with map-side partial aggregation (Expand before Exchange)") {
+    val df = AggQueries.a17.run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), p)
+    val exchanges = p.split("Exchange hashpartitioning").length - 1
+    assert(exchanges == 1, s"expected 1 hash exchange:\n$p")
+    assert(p.split("HashAggregate").length - 1 >= 2, s"no partial agg:\n$p")
+  }
+
+  test("TFIDF: the vocabulary-sized DF table joins broadcast — token stream not shuffled for it") {
+    val p = plan(graft.queries.TextQueries.tfidf)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
