@@ -209,5 +209,36 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(stratified, pipeline, decontaminate, repetition)
+  /** Exact-n stratified sample (the reservoir-sampling contract, made
+    * deterministic): per (lang, source) stratum keep EXACTLY min(n, 10)
+    * docs, selection by hash rank so the sample is stable across runs,
+    * engines, and partitionings — unlike rate-based Bernoulli
+    * ([[stratified]]), which only hits n in expectation. One shuffle on
+    * the stratum key; rank never scans more than a stratum, and Spark's
+    * WindowGroupLimit pushes the rank<=10 cut into the sort below the
+    * final window, so no stratum is fully materialized.
+    */
+  val sampleExactN = Q(
+    "sample_exact_n",
+    """SELECT doc_id, lang, source, rank FROM (
+      |  SELECT doc_id, lang, source,
+      |    row_number() OVER (PARTITION BY lang, source
+      |      ORDER BY md5('rsv:' || CAST(doc_id AS VARCHAR)), doc_id) AS rank
+      |  FROM documents)
+      |WHERE rank <= 10 ORDER BY lang, source, rank""".stripMargin) {
+    (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang", "source")
+        .orderBy(md5(concat(lit("rsv:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rank",
+          row_number().over(w).cast(org.apache.spark.sql.types.LongType))
+        .where(col("rank") <= 10)
+        .select("doc_id", "lang", "source", "rank")
+        .orderBy("lang", "source", "rank")
+  }
+
+  val all: Seq[Q] =
+    Seq(stratified, pipeline, decontaminate, repetition, sampleExactN)
 }

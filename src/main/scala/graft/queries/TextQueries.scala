@@ -152,5 +152,129 @@ object TextQueries {
         .limit(200)
   }
 
-  val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, vocabulary)
+  /** TF-IDF document scoring — corpus document frequencies joined back
+    * to per-doc term frequencies. Integer IDF surrogate
+    * `(1000·N) div df` instead of ln(N/df): same ranking, exact BIGINT
+    * in any engine (cross-engine ln can differ in the last ulp, which a
+    * floor would amplify into a hash mismatch). Scale shape: the DF
+    * table is vocabulary-sized → broadcast joined; the token explode is
+    * one scan; both aggs combine map-side.
+    */
+  val tfidf = Q(
+    "text_tfidf",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2)
+      |SELECT tf.doc_id, count(*) AS n_terms,
+      |  CAST(sum(tf.tf * ((1000 * n.n_docs) // df.df)) AS BIGINT) AS score
+      |FROM tf JOIN df USING (word) CROSS JOIN n
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.count()
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("word"))
+    val df = tok.groupBy("word")
+      .agg(countDistinct("doc_id").as("df"))
+    val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(df), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("tf") * expr(s"(1000 * ${nDocs}L) div df")).cast(LongType)
+          .as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Unigram-LM rarity scoring (the CCNet/Gopher LM-quality filter
+    * shape): corpus unigram counts → per-token inverse-probability
+    * surprisal `total div cnt`, summed per document. Monotone in
+    * −log p (the usual LM score) but exact integer cross-engine.
+    * Rare-token-heavy docs score high → filterable tail.
+    */
+  val unigramLm = Q(
+    "text_unigram_lm",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |tot AS (SELECT count(*) AS n_tok FROM tok),
+      |uni AS (SELECT word, count(*) AS cnt FROM tok GROUP BY 1)
+      |SELECT t.doc_id, count(*) AS n_tok,
+      |  CAST(sum(tot.n_tok // uni.cnt) AS BIGINT) AS surprisal,
+      |  CAST(max(tot.n_tok // uni.cnt) AS BIGINT) AS max_surprisal
+      |FROM tok t JOIN uni USING (word) CROSS JOIN tot
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val uni = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = uni.agg(sum("cnt")).collect()(0).getLong(0)
+    tok.join(broadcast(uni), "word")
+      .withColumn("surp", expr(s"${total}L div cnt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum("surp").cast(LongType).as("surprisal"),
+        max("surp").cast(LongType).as("max_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  /** Content-defined chunking — rolling-hash boundaries split documents
+    * into variable-size chunks whose edges follow CONTENT, not offsets,
+    * so an insertion early in a doc shifts at most one chunk (the basis
+    * of sub-document dedup in large corpora). Boundary rule: a token
+    * position starts a new chunk when md5(prev ⊔ token) ≡ 0 (mod 8) —
+    * expected chunk ≈ 8 tokens. The cumulative-sum-of-flags chunk id is
+    * one window over (doc_id, pos); chunk hashes are dedup keys across
+    * the corpus. Scale: one explode + one per-doc window + one grouped
+    * agg, all keyed on doc_id — a single exchange.
+    */
+  val cdcChunks = Q(
+    "text_cdc_chunks",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(arr) AS token,
+      |         unnest(range(1, len(arr) + 1)) AS pos
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)),
+      |flagged AS (
+      |  SELECT doc_id, token, pos,
+      |    CASE WHEN lag(token) OVER w IS NOT NULL
+      |           AND ('0x' || substr(md5(lag(token) OVER w || ' ' || token), 1, 15))::BIGINT % 8 = 0
+      |         THEN 1 ELSE 0 END AS boundary
+      |  FROM tok
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |chunked AS (
+      |  SELECT doc_id, token, pos,
+      |    sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+      |  FROM flagged)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  count(*) AS n_tok,
+      |  md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash
+      |FROM chunked GROUP BY doc_id, chunk_id
+      |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos0", "token")))
+      .select(col("doc_id"), col("token"), (col("pos0") + 1).as("pos"))
+    tok
+      .withColumn("prev", lag("token", 1).over(w))
+      .withColumn("boundary",
+        when(col("prev").isNotNull &&
+          expr("cast(conv(substring(md5(concat(prev, ' ', token)), 1, 15), 16, 10) as bigint) % 8 = 0"),
+          1).otherwise(0))
+      .withColumn("chunk_id",
+        sum("boundary").over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(LongType))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_tok"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token")), " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(tokens, quality, langid, fingerprint, vocabulary, tfidf, unigramLm,
+      cdcChunks)
 }
