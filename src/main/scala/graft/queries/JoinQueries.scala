@@ -120,7 +120,10 @@ object JoinQueries {
         get_json_object(col("props"), "$.k").cast(LongType).as("k"))
     val cust = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"))
-    ev.join(cust, col("user_id") === col("c_custkey"))
+    // explicit broadcast: the entity side is dimension-sized; relying on
+    // the size ESTIMATE risks a stats-driven SortMergeJoin fallback that
+    // would shuffle the whole event stream
+    ev.join(broadcast(cust), col("user_id") === col("c_custkey"))
       .where(col("k") > col("c_nationkey").cast(LongType))
       .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
       .orderBy("c_nationkey")

@@ -84,5 +84,55 @@ object SourceQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[Q] = Seq(jsonSchema, csvRoundtrip, partitionedWrite)
+  /** S11 — bucketed catalog tables: both facts written `bucketBy` the
+    * join key, re-read from the catalog, joined and aggregated. The
+    * VALUE contract is this gate; the PLAN contract — the join runs
+    * with NO exchange on either bucketed side — is `BucketingSpec`
+    * (broadcast must be disabled to see it at test scale, which is a
+    * session-level knob the shared Verify session must not flip).
+    * At 100 TB this is how the fact⋈fact serial joins (J1/J5) avoid
+    * re-shuffling petabytes per query: pay the shuffle once at write.
+    */
+  val bucketedTable = Q(
+    "s11_bucketed_table",
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(round(l_quantity * 10000) AS BIGINT)) AS BIGINT) AS qty_units
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    // Unique table names per invocation: the in-memory catalog is fresh
+    // per JVM but spark-warehouse/ persists on disk, and saveAsTable
+    // refuses to CREATE a table over a leftover path it no longer knows
+    // about. Prior runs' directories are swept best-effort first.
+    val wh = new java.io.File(
+      new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
+    Option(wh.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("g_li_b_") ||
+        f.getName.startsWith("g_or_b_"))
+      .foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(d)
+      }
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val (liT, orT) = (s"g_li_b_$tag", s"g_or_b_$tag")
+    t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable(liT)
+    t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable(orT)
+    s.table(liT)
+      .join(s.table(orT),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_quantity") * 10000).cast(LongType)).cast(LongType)
+          .as("qty_units"))
+      .orderBy("o_orderstatus")
+  }
+
+  val all: Seq[Q] =
+    Seq(jsonSchema, csvRoundtrip, partitionedWrite, bucketedTable)
 }

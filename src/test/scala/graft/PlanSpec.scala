@@ -90,6 +90,9 @@ class PlanSpec extends SparkTestBase {
     val readSchema = p.linesIterator
       .filter(_.contains("ReadSchema")).mkString("\n")
     assert(readSchema.contains("props")) // parsed scan-side, then dropped
+    // the entity side is pinned broadcast — a stats-estimate SMJ
+    // fallback would shuffle the whole event stream
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("A5 valuation: both rate dimensions broadcast — only the (block,pid) agg shuffles") {
