@@ -55,18 +55,33 @@ object Bench {
         }
       }
     }
+    // (seconds, succeeded) — a failed run must never improve the
+    // reported minimum or hide behind a fast exception.
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
+        : (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] query failed: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       dropCaches(spark)
-      dt
+      (dt, ok)
     }
-    val firstPass = qmap.toSeq.sortBy(_._1).map { case (n, fn) => n -> timed(fn) }
-    // Steady-state pass: anything ≥1 s gets one more run, keep the min.
-    val results = firstPass.map { case (n, t) =>
-      if (t >= 1.0) n -> math.min(t, timed(qmap(n))) else n -> t
+    val firstPass = qmap.toSeq.sortBy(_._1).map { case (n, fn) => (n, fn, timed(fn)) }
+    // Steady-state pass: successful runs ≥1 s get one more run; the min
+    // over SUCCESSFUL runs is reported. A query with no successful run
+    // reports -1 so the failure is visible, not averaged away.
+    val results = firstPass.map {
+      case (n, _, (t, true)) if t < 1.0 => n -> t
+      case (n, fn, (t, true)) =>
+        timed(fn) match {
+          case (t2, true) => n -> math.min(t, t2)
+          case (_, false) => n -> t
+        }
+      case (n, _, (_, false)) => n -> -1.0
     }
     def fmt(v: Double): String = f"$v%.3f"
     def mapJson(rs: Seq[(String, Double)]): String =

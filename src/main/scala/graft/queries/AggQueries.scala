@@ -483,6 +483,33 @@ object AggQueries {
       .orderBy("key")
   }
 
+  /** Salted skew JOIN — the join-side twin of [[skew]]: a third of the
+    * events pile onto one hot entity key; the salted join spreads that
+    * key over 16 sub-partitions while the entity side replicates 16×.
+    * Values are row-identical to the plain join the oracle runs.
+    */
+  val skewJoin = Q(
+    "skew_salted_join",
+    """SELECT c_nationkey, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM (SELECT CASE WHEN event_id % 3 = 0 THEN 7 ELSE user_id END AS k,
+      |        value FROM events) e
+      |JOIN customer ON c_custkey = e.k
+      |GROUP BY 1 ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+      .select(when(col("event_id") % 3 === 0, 7L).otherwise(col("user_id"))
+          .as("k"),
+        col("event_id"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+    graft.operators.SkewedAgg
+      .saltedJoin(ev, col("k"), col("event_id"),
+        t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("c_custkey"), buckets = 16)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), sum("cents").cast(LongType).as("cents"))
+      .orderBy("c_nationkey")
+  }
+
   /** A17 — hierarchical rollup (GROUPING SETS): one shuffle produces
     * every aggregation level; Spark expands the grouping sets BEFORE
     * the exchange, so partial aggregation still combines map-side. The
@@ -545,21 +572,26 @@ object AggQueries {
 
   /** A19 — exact percentiles (type-7 linear interpolation, the
     * definition Spark `percentile` and DuckDB `quantile_cont` share).
-    * Integer cents in, ×100 scaling out: the interpolated value is a
-    * quarter-integer at worst, so the scaled result is an exact BIGINT
-    * in both engines. Exact percentile sorts per group — fine per
-    * bounded group; at 100 TB unbounded groups switch to
-    * approx_percentile (t-digest) and the oracle becomes a tolerance
-    * check, which is why this gate pins the EXACT variant.
+    * The probed fractions are DYADIC (k/2^m: .25/.5/.75/.875) on
+    * purpose: the interpolation position p·(n−1) then has an exactly
+    * representable fractional part, every intermediate (a + frac·(b−a)
+    * on integer cents) is exact in a double, and the ×8 scaling floors
+    * an exact eighth-integer — so the gate cannot flake on last-ulp
+    * differences between the two engines' interpolation orderings
+    * (0.90/0.95 would: 9/10 has no finite binary form). Exact
+    * percentile sorts per group — fine per bounded group; at 100 TB
+    * unbounded groups switch to approx_percentile (t-digest) and the
+    * oracle becomes a tolerance check, which is why this gate pins the
+    * EXACT variant.
     */
   val a19 = Q(
     "a19_percentiles",
     """SELECT l_returnflag,
       |  count(*) AS n,
-      |  CAST(floor(100 * quantile_cont(cents, 0.25)) AS BIGINT) AS p25,
-      |  CAST(floor(100 * quantile_cont(cents, 0.50)) AS BIGINT) AS p50,
-      |  CAST(floor(100 * quantile_cont(cents, 0.90)) AS BIGINT) AS p90,
-      |  CAST(floor(100 * quantile_cont(cents, 0.95)) AS BIGINT) AS p95
+      |  CAST(floor(8 * quantile_cont(cents, 0.25)) AS BIGINT) AS p25_8ths,
+      |  CAST(floor(8 * quantile_cont(cents, 0.50)) AS BIGINT) AS p50_8ths,
+      |  CAST(floor(8 * quantile_cont(cents, 0.75)) AS BIGINT) AS p75_8ths,
+      |  CAST(floor(8 * quantile_cont(cents, 0.875)) AS BIGINT) AS p875_8ths
       |FROM (SELECT l_returnflag,
       |        CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
       |      FROM lineitem)
@@ -569,10 +601,14 @@ object AggQueries {
         round(col("l_extendedprice") * 100).cast(LongType).as("cents"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        floor(expr("100 * percentile(cents, 0.25)")).cast(LongType).as("p25"),
-        floor(expr("100 * percentile(cents, 0.50)")).cast(LongType).as("p50"),
-        floor(expr("100 * percentile(cents, 0.90)")).cast(LongType).as("p90"),
-        floor(expr("100 * percentile(cents, 0.95)")).cast(LongType).as("p95"))
+        floor(expr("8 * percentile(cents, 0.25)")).cast(LongType)
+          .as("p25_8ths"),
+        floor(expr("8 * percentile(cents, 0.50)")).cast(LongType)
+          .as("p50_8ths"),
+        floor(expr("8 * percentile(cents, 0.75)")).cast(LongType)
+          .as("p75_8ths"),
+        floor(expr("8 * percentile(cents, 0.875)")).cast(LongType)
+          .as("p875_8ths"))
       .orderBy("l_returnflag")
   }
 
@@ -633,5 +669,5 @@ object AggQueries {
 
   val all: Seq[Q] =
     Seq(a1, a10, a4, a5, a6, a7, a8, a9, a11, a12, a14, a15, a16, a17, a18,
-      a19, a20, w6, w8, w9, skew)
+      a19, a20, w6, w8, w9, skew, skewJoin)
 }

@@ -69,8 +69,11 @@ object SourceQueries {
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_part").toString
+    // fixed path + overwrite, NOT a fresh temp dir per invocation — the
+    // driver runs this several times per round and per-run temp copies
+    // of the events table would accumulate until the disk fills
+    val tmp = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_part_events").toString
     t(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("value"),
         col("event_type"))
@@ -99,24 +102,22 @@ object SourceQueries {
       |  CAST(sum(CAST(round(l_quantity * 10000) AS BIGINT)) AS BIGINT) AS qty_units
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
-    // Unique table names per invocation: the in-memory catalog is fresh
-    // per JVM but spark-warehouse/ persists on disk, and saveAsTable
-    // refuses to CREATE a table over a leftover path it no longer knows
-    // about. Prior runs' directories are swept best-effort first.
+    // Fixed table names. DROP covers re-runs within one session;
+    // deleting the on-disk location covers a FRESH session whose
+    // in-memory catalog has forgotten the table but whose warehouse
+    // directory survives — saveAsTable refuses to create over a
+    // leftover path (LOCATION_ALREADY_EXISTS) otherwise.
     val wh = new java.io.File(
       new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
-    Option(wh.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("g_li_b_") ||
-        f.getName.startsWith("g_or_b_"))
-      .foreach { d =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(d)
-      }
-    val tag = java.lang.Long.toHexString(System.nanoTime())
-    val (liT, orT) = (s"g_li_b_$tag", s"g_or_b_$tag")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    val (liT, orT) = ("g_li_bucketed", "g_or_bucketed")
+    Seq(liT, orT).foreach { n =>
+      s.sql(s"DROP TABLE IF EXISTS $n")
+      rm(new java.io.File(wh, n))
+    }
     t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable(liT)

@@ -208,7 +208,9 @@ object TextQueries {
     val tok = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val uni = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
-    val total = uni.agg(sum("cnt")).collect()(0).getLong(0)
+    // count(), not agg(sum): same number, and no null row to NPE on
+    // when the corpus is empty
+    val total = tok.count()
     tok.join(broadcast(uni), "word")
       .withColumn("surp", expr(s"${total}L div cnt"))
       .groupBy("doc_id")
