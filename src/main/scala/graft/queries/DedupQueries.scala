@@ -191,11 +191,13 @@ object DedupQueries {
     * key is the band signature, and verification touches only banded
     * candidates (semi-joined shingle set).
     *
-    * Permutation hashes are 8 independent md5-keyed 60-bit hashes.
-    * (Two rejected "optimizations", both measured: a linear h1+k·h2
-    * scheme correlates the per-permutation minima and explodes the
-    * candidate set; md5∥sha256 slices are independent but bench slower
-    * cold than 8 md5s on this JVM.)
+    * Permutation family: ONE md5-derived 60-bit hash per shingle,
+    * reduced mod p = 2³¹−1, then 8 affine bijections (see
+    * [[MinHashPerm]]) — pairwise-independent, so minima stay
+    * uncorrelated, at an eighth of the digest cost of the round-1
+    * per-prefix-md5 scheme. (Rejected alternatives, both measured: a
+    * linear h1+k·h2 scheme correlates the minima and explodes the
+    * candidate set; md5∥sha256 slices bench slower cold than md5.)
     */
   val minhashLsh = Q(
     "dedup_minhash_lsh",
@@ -329,5 +331,40 @@ object DedupQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(exact, jaccard, clusters, minhashLsh, simhash)
+  /** Retention mapping — the step that turns dup DETECTION into a
+    * corpus FILTER: every doc maps to its cluster's canonical (min id)
+    * or to itself if unclustered, with a keep/drop flag. Downstream
+    * training jobs anti-join on keep=0 (and can re-point references at
+    * the canonical). The components table is cluster-members-sized —
+    * tiny next to the corpus — so the mapping join broadcasts at scale.
+    */
+  val retention = Q(
+    "dedup_retention",
+    s"""WITH RECURSIVE $corpusSql,
+      |$jaccardPairsSql,
+      |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |        UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT DISTINCT src AS node, src AS label FROM sym
+      |  UNION
+      |  SELECT s.src, r.label FROM sym s JOIN reach r ON r.node = s.dst),
+      |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+      |SELECT c.doc_id, coalesce(k.component, c.doc_id) AS canonical,
+      |  CAST(CASE WHEN coalesce(k.component, c.doc_id) = c.doc_id
+      |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM corpus c LEFT JOIN comp k ON k.node = c.doc_id
+      |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+    val comp = graft.operators.DedupClusters
+      .connectedComponents(jaccardPairs(s, dir).select("id_a", "id_b"))
+    corpus(s, dir)
+      .join(broadcast(comp), col("node") === col("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical"),
+        when(coalesce(col("component"), col("doc_id")) === col("doc_id"), 1L)
+          .otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(exact, jaccard, clusters, minhashLsh, simhash, retention)
 }
