@@ -1,6 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
 import graft.Tables.t
 
 /** Corpus-curation operators beyond dedup: deterministic sampling.
@@ -227,13 +229,11 @@ object CurationQueries {
       |  FROM documents)
       |WHERE rank <= 10 ORDER BY lang, source, rank""".stripMargin) {
     (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("lang", "source")
         .orderBy(md5(concat(lit("rsv:"), col("doc_id").cast("string"))),
           col("doc_id"))
       t(s, dir, "documents")
-        .withColumn("rank",
-          row_number().over(w).cast(org.apache.spark.sql.types.LongType))
+        .withColumn("rank", row_number().over(w).cast(LongType))
         .where(col("rank") <= 10)
         .select("doc_id", "lang", "source", "rank")
         .orderBy("lang", "source", "rank")

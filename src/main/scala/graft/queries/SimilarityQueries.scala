@@ -20,7 +20,7 @@ import graft.Tables.t
 object SimilarityQueries {
 
   /** vec_id, label, q (bigint[64]), nq (‖q‖², bigint). */
-  private def quantized(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def quantized(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
@@ -257,7 +257,9 @@ object SimilarityQueries {
     s"""WITH $kmeansSql
       |SELECT vec_id, cluster, d2 FROM a2 ORDER BY vec_id""".stripMargin) {
     (s, dir) =>
-      val base = quantized(s, dir)
+      // persisted: init collect, the update pass, and the final assign
+      // consume base SEQUENTIALLY, so a lazy persist dedupes the scans
+      val base = quantized(s, dir).persist()
       val cs = graft.operators.KMeans.centroids(base, 8, 2)
       graft.operators.KMeans.assign(base, cs)
         .select("vec_id", "cluster", "d2")
@@ -300,7 +302,7 @@ object SimilarityQueries {
       |SELECT qid, rank, cid, cos_micros FROM ranked WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
     import graft.operators.KMeans
-    val base = quantized(s, dir)
+    val base = quantized(s, dir).persist()
     val cs = KMeans.centroids(base, 8, 2)
     val assigned = KMeans.assign(base, cs)
     val probed = assigned.where(col("vec_id") < 8)

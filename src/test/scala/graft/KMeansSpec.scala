@@ -9,15 +9,8 @@ import graft.operators.KMeans
   */
 class KMeansSpec extends SparkTestBase {
 
-  private lazy val base = {
-    graft.functions.GraftFunctions.register(spark)
-    Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
-          .as("q"))
-      .withColumn("nq", expr("graft_ldot(q, q)"))
-      .where(col("nq") > 0)
-  }
+  private lazy val base =
+    graft.queries.SimilarityQueries.quantized(spark, "/root/testdata/sf0.001")
 
   test("Lloyd iterations never increase the k-means objective") {
     def objective(iters: Int): Long =

@@ -140,12 +140,7 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("KMeans: assignment is zero-shuffle — no exchange, no join, argmin inside codegen") {
-    import org.apache.spark.sql.functions._
-    graft.functions.GraftFunctions.register(spark)
-    val base = graft.Tables.t(spark, dir, "embeddings")
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))").as("q"))
-      .withColumn("nq", expr("graft_ldot(q, q)"))
+    val base = graft.queries.SimilarityQueries.quantized(spark, dir)
     val cs = graft.operators.KMeans.centroids(base, 8, 2)
     val p = graft.operators.KMeans.assign(base, cs)
       .queryExecution.executedPlan.toString
