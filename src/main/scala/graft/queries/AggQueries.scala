@@ -667,7 +667,73 @@ object AggQueries {
       .orderBy("event_type")
   }
 
+  /** W10 — time-series resampling with forward-fill: each user's event
+    * stream lands on an hourly grid carrying the last observation at or
+    * before each grid instant (gap-fill for dashboards/feature frames).
+    * Shape: grid points UNION the events, ONE window pass per user does
+    * the as-of — `max(struct(us, cents))` over the cumulative frame is
+    * the fill (max ignores nulls; struct order = event time, then
+    * value for same-instant determinism) — then keep grid rows. No
+    * join, one shuffle on user_id shared by window and grid generation.
+    * Grid cardinality is derived as an explicit 0..cnt index range so
+    * Spark's INCLUSIVE sequence() and DuckDB's EXCLUSIVE range() cannot
+    * disagree at the endpoint. Grid instants before a user's first
+    * event fill with NULL by construction.
+    */
+  val w10 = Q(
+    "w10_resample_ffill",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE user_id < 5),
+      |bounds AS (
+      |  SELECT user_id, min(us) - (min(us) % 3600000000) AS start,
+      |    max(us) AS hi
+      |  FROM e GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id,
+      |    start + 3600000000 * unnest(range(0, ((hi - 1 - start) // 3600000000) + 1)) AS gus
+      |  FROM bounds),
+      |u AS (
+      |  SELECT user_id, us, cents, 0 AS is_grid FROM e
+      |  UNION ALL
+      |  SELECT user_id, gus, NULL, 1 FROM grid),
+      |f AS (
+      |  SELECT user_id, us, is_grid,
+      |    max(CASE WHEN cents IS NOT NULL
+      |      THEN struct_pack(us := us, cents := cents) END)
+      |      OVER (PARTITION BY user_id ORDER BY us, is_grid
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lastobs
+      |  FROM u)
+      |SELECT user_id, us AS grid_us, lastobs.cents AS ffill_cents
+      |FROM f WHERE is_grid = 1
+      |ORDER BY user_id, grid_us""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events")
+      .where(col("user_id") < 5)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+    val grid = e.groupBy("user_id")
+      .agg((min("us") - (min("us") % 3600000000L)).as("start"),
+        max("us").as("hi"))
+      .select(col("user_id"), explode(expr(
+        """transform(sequence(0L, (hi - 1 - start) div 3600000000),
+          |  k -> start + 3600000000 * k)""".stripMargin)).as("gus"))
+    val u = e.withColumn("is_grid", lit(0))
+      .unionByName(grid.select(col("user_id"), col("gus").as("us"),
+        lit(null).cast(LongType).as("cents"), lit(1).as("is_grid")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("is_grid"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    u.withColumn("lastobs",
+        max(when(col("cents").isNotNull,
+          struct(col("us"), col("cents")))).over(w))
+      .where(col("is_grid") === 1)
+      .select(col("user_id"), col("us").as("grid_us"),
+        col("lastobs.cents").as("ffill_cents"))
+      .orderBy("user_id", "grid_us")
+  }
+
   val all: Seq[Q] =
     Seq(a1, a10, a4, a5, a6, a7, a8, a9, a11, a12, a14, a15, a16, a17, a18,
-      a19, a20, w6, w8, w9, skew, skewJoin)
+      a19, a20, w6, w8, w9, w10, skew, skewJoin)
 }

@@ -28,6 +28,23 @@ class DedupClustersSpec extends SparkTestBase {
     assert(cc(Seq.empty) === Map.empty)
   }
 
+  test("retention invariants: one keeper per cluster, keeper is the canonical, drops map to keepers") {
+    import org.apache.spark.sql.functions._
+    val ret = graft.queries.DedupQueries.retention
+      .run(spark, "/root/testdata/sf0.001").collect()
+    val byCanonical = ret.groupBy(_.getAs[Long]("canonical"))
+    byCanonical.foreach { case (canon, members) =>
+      val keepers = members.filter(_.getAs[Long]("keep") == 1L)
+      assert(keepers.length == 1, s"cluster $canon has ${keepers.length} keepers")
+      assert(keepers.head.getAs[Long]("doc_id") == canon,
+        s"cluster $canon keeper is not the canonical")
+      assert(canon == members.map(_.getAs[Long]("doc_id")).min,
+        s"canonical $canon is not the min member id")
+    }
+    // the mapping covers the whole corpus exactly once
+    assert(ret.map(_.getAs[Long]("doc_id")).distinct.length == ret.length)
+  }
+
   test("long chain converges within the iteration bound") {
     val n = 40L
     val edges = (1L until n).map(i => (i + 1) -> i)
