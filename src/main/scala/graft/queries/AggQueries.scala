@@ -733,7 +733,77 @@ object AggQueries {
       .orderBy("user_id", "grid_us")
   }
 
+  /** A21 — z-score outlier detection (the statistical data-quality
+    * filter a curation pipeline runs on numeric fields): per-key mean
+    * and variance come from EXACT integer sums (Σx, Σx², both ≪ 2^63),
+    * so the one floating-point step — forming z and comparing to the
+    * threshold — is the identical IEEE expression on identical integer
+    * inputs in every engine. The stats table is key-cardinality-sized →
+    * broadcast back; flagging is map-side.
+    */
+  val a21 = Q(
+    "a21_zscore_outliers",
+    """WITH e AS (SELECT event_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+      |st AS (SELECT event_type, count(*) AS n,
+      |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c*c) AS BIGINT) AS ss
+      |  FROM e GROUP BY 1)
+      |SELECT e.event_type, st.n, count(*) AS n_outliers
+      |FROM e JOIN st USING (event_type)
+      |WHERE abs(1000000.0 * (e.c - CAST(s AS DOUBLE)/n) /
+      |  sqrt(CAST(ss AS DOUBLE)/n - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n))) > 2000000
+      |GROUP BY 1, 2 ORDER BY e.event_type""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast(LongType).as("c"))
+    val st = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").cast(LongType).as("s"),
+        sum(col("c") * col("c")).cast(LongType).as("ss"))
+    e.join(broadcast(st), "event_type")
+      .where(expr(
+        """abs(1000000.0 * (c - CAST(s AS DOUBLE)/n) /
+          |  sqrt(CAST(ss AS DOUBLE)/n - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n))) > 2000000""".stripMargin))
+      .groupBy("event_type", "n")
+      .agg(count(lit(1)).as("n_outliers"))
+      .select(col("event_type"), col("n"), col("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  /** A22 — unpivot/melt + column profiling: wide numeric columns become
+    * (column, value) rows in one scan (Spark's built-in unpivot — an
+    * Expand, no shuffle until the profile agg), then per-column
+    * min/max/sum/distinct — the data-profiling pass run before
+    * schema-on-read ingestion at scale.
+    */
+  val a22 = Q(
+    "a22_unpivot_profile",
+    """WITH u AS (
+      |  SELECT 'quantity' AS col,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS v FROM lineitem
+      |  UNION ALL SELECT 'extendedprice',
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'discount',
+      |    CAST(round(l_discount * 100) AS BIGINT) FROM lineitem)
+      |SELECT col, count(*) AS n, CAST(min(v) AS BIGINT) AS vmin,
+      |  CAST(max(v) AS BIGINT) AS vmax, CAST(sum(v) AS BIGINT) AS vsum,
+      |  count(DISTINCT v) AS n_distinct
+      |FROM u GROUP BY 1 ORDER BY col""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(round(col("l_quantity") * 100).cast(LongType).as("quantity"),
+        round(col("l_extendedprice") * 100).cast(LongType)
+          .as("extendedprice"),
+        round(col("l_discount") * 100).cast(LongType).as("discount"))
+      .unpivot(Array.empty, Array(col("quantity"), col("extendedprice"),
+        col("discount")), "col", "v")
+      .groupBy("col")
+      .agg(count(lit(1)).as("n"), min("v").cast(LongType).as("vmin"),
+        max("v").cast(LongType).as("vmax"),
+        sum("v").cast(LongType).as("vsum"),
+        countDistinct("v").as("n_distinct"))
+      .orderBy("col")
+  }
+
   val all: Seq[Q] =
     Seq(a1, a10, a4, a5, a6, a7, a8, a9, a11, a12, a14, a15, a16, a17, a18,
-      a19, a20, w6, w8, w9, w10, skew, skewJoin)
+      a19, a20, a21, a22, w6, w8, w9, w10, skew, skewJoin)
 }
