@@ -161,4 +161,17 @@ class PlanSpec extends SparkTestBase {
     val p = plan(graft.queries.TextQueries.tfidf)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("A21: the per-key stats table broadcasts — outlier flagging never shuffles the facts") {
+    val p = plan(AggQueries.a21)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("J12: the interval dimension broadcasts; the bucket equi-key carries the join") {
+    val p = plan(JoinQueries.j12)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to nested-loop:\n$p")
+  }
 }
