@@ -327,6 +327,30 @@ object JoinQueries {
       .orderBy("day")
   }
 
+  /** J9 (serving payload) — the wallet rows serialized to the JSON
+    * payload the API layer ships (SQLstatements.md's serving surface
+    * emits jsonb): `to_json(struct(...))` with a fixed key order and
+    * integer-only values, so the STRING is byte-identical across
+    * engines — serialization fidelity is part of the contract, not
+    * just the values. Serialization is a map-side projection over the
+    * aggregated rows.
+    */
+  val j9json = Q(
+    "j9_wallet_json",
+    s"""SELECT r_name, n_name,
+      |  to_json(struct_pack(region := r_name, nation := n_name,
+      |    n_customers := n_customers, bal_cents := bal_cents,
+      |    spend_cents := spend_cents))::VARCHAR AS payload
+      |FROM (${j9.oracle.get})
+      |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+    j9.run(s, dir)
+      .select(col("r_name"), col("n_name"),
+        to_json(struct(col("r_name").as("region"), col("n_name").as("nation"),
+          col("n_customers"), col("bal_cents"), col("spend_cents")))
+          .as("payload"))
+      .orderBy("r_name", "n_name")
+  }
+
   val all: Seq[Q] =
-    Seq(j1, j2, j4, j5, j6, j9, j10a, j10s, j12, w1, o1, o6, m2, m4)
+    Seq(j1, j2, j4, j5, j6, j9, j9json, j10a, j10s, j12, w1, o1, o6, m2, m4)
 }
