@@ -80,7 +80,42 @@ object MultimodalQueries {
     }(enc).orderBy("doc_id").toDF()
   }
 
-  val all: Seq[Q] = Seq(binaryMeta, decodeBatch)
+  /** Frame sampling — the video-pipeline shape: the blob splits into
+    * fixed 16-byte "frames", every 4th frame is sampled (stride
+    * sampling, the cheap first pass before any real decode), and each
+    * sampled frame emits its digest + a stub feature. One explode per
+    * doc, frame math is pure projection; a real codec replaces the
+    *16-byte fake framing, nothing else. Spark's INCLUSIVE
+    * sequence(0, nf−1, 4) and DuckDB's EXCLUSIVE range(0, nf, 4)
+    * generate the same index set for nf ≥ 1.
+    */
+  val frameSample = Q(
+    "mm_frame_sample",
+    """WITH f AS (SELECT doc_id, text,
+      |    CAST(floor(length(text)/16) AS BIGINT) AS nf FROM documents),
+      |g AS (SELECT doc_id, text, unnest(range(0, nf, 4)) AS idx
+      |  FROM f WHERE nf >= 1),
+      |fr AS (SELECT doc_id, idx,
+      |    substr(text, CAST(idx*16+1 AS INT), 16) AS frame FROM g)
+      |SELECT doc_id, idx, md5(frame) AS frame_md5,
+      |  CAST(list_sum(list_transform(string_split(frame, ''),
+      |    c -> ascii(c))) AS BIGINT) AS frame_sum
+      |FROM fr ORDER BY doc_id, idx""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        floor(length(col("text")) / 16).cast(LongType).as("nf"))
+      .where(col("nf") >= 1)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0L, nf - 1, 4L)")).as("idx"))
+      .select(col("doc_id"), col("idx"),
+        expr("substring(text, cast(idx*16+1 as int), 16)").as("frame"))
+      .select(col("doc_id"), col("idx"), md5(col("frame")).as("frame_md5"),
+        expr("aggregate(transform(split(frame, ''), c -> ascii(c)), 0L, (a, c) -> a + c)")
+          .as("frame_sum"))
+      .orderBy("doc_id", "idx")
+  }
+
+  val all: Seq[Q] = Seq(binaryMeta, decodeBatch, frameSample)
 }
 
 /** The pluggable decode seam for multimodal blobs. */
