@@ -351,6 +351,54 @@ object JoinQueries {
       .orderBy("r_name", "n_name")
   }
 
+  /** O8 — serial-continuity audit (ingest integrity: the engine's
+    * analog of the reference's consistency checks, sql.py:1205
+    * checkbalances_MP — except over serials, where a hole means a lost
+    * block/tx). Self-checking corpus: every 97th key is dropped first,
+    * and the audit must report exactly those holes.
+    *
+    * NOT a global-ORDER-BY window (the repo bans single-task data
+    * paths): keys bucket by k div 8192, lead() runs per bucket, and
+    * bucket-boundary gaps come from a bucket-cardinality-sized
+    * (bucket → min,max) table self-joined to its successor — the same
+    * partition-plus-boundary-union shape as the day-partitioned 24-h
+    * window. The oracle keeps the naive global window (DuckDB needn't
+    * scale).
+    */
+  val o8 = Q(
+    "o8_gap_audit",
+    """WITH s AS (
+      |  SELECT o_orderkey AS k,
+      |    lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+      |  FROM orders WHERE o_orderkey % 97 <> 0)
+      |SELECT k AS gap_after, CAST(nxt - k - 1 AS BIGINT) AS n_missing
+      |FROM s WHERE nxt - k > 1 ORDER BY gap_after""".stripMargin) {
+    (s, dir) =>
+      val keys = t(s, dir, "orders")
+        .where(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey").as("k"))
+        .withColumn("bucket", expr("k div 8192"))
+      val wb = Window.partitionBy("bucket").orderBy("k")
+      val inBucket = keys
+        .withColumn("nxt", lead("k", 1).over(wb))
+        .where(col("nxt") - col("k") > 1)
+        .select(col("k").as("gap_after"),
+          (col("nxt") - col("k") - 1).cast(LongType).as("n_missing"))
+      val edges = keys.groupBy("bucket")
+        .agg(min("k").as("lo"), max("k").as("hi"))
+      // pair each bucket with the next PRESENT bucket (a gap can swallow
+      // whole buckets); edges is metadata-scale (#keys/8192 rows), so
+      // its global window is a broadcast-sized single task by design
+      val we = Window.orderBy("bucket")
+      val boundary = edges
+        .withColumn("next_lo", lead("lo", 1).over(we))
+        .where(col("next_lo") - col("hi") > 1)
+        .select(col("hi").as("gap_after"),
+          (col("next_lo") - col("hi") - 1).cast(LongType).as("n_missing"))
+      inBucket.unionByName(boundary).orderBy("gap_after")
+  }
+
   val all: Seq[Q] =
-    Seq(j1, j2, j4, j5, j6, j9, j9json, j10a, j10s, j12, w1, o1, o6, m2, m4)
+    Seq(j1, j2, j4, j5, j6, j9, j9json, j10a, j10s, j12, w1, o1, o6, m2, m4,
+      o8)
 }
