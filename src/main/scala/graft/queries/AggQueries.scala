@@ -738,7 +738,11 @@ object AggQueries {
     * and variance come from EXACT integer sums (Σx, Σx², both ≪ 2^63),
     * so the one floating-point step — forming z and comparing to the
     * threshold — is the identical IEEE expression on identical integer
-    * inputs in every engine. The stats table is key-cardinality-sized →
+    * inputs in every engine. The variance is clamped at 0 before the
+    * sqrt: a constant-valued group whose exact Σx² exceeds 2^53 can
+    * round to a TINY NEGATIVE fp variance, where DuckDB's sqrt throws
+    * while Spark yields NaN; clamped, both engines divide by zero and
+    * agree on NULL (no outliers in a zero-variance group). The stats table is key-cardinality-sized →
     * broadcast back; flagging is map-side.
     */
   val a21 = Q(
@@ -751,7 +755,7 @@ object AggQueries {
       |SELECT e.event_type, st.n, count(*) AS n_outliers
       |FROM e JOIN st USING (event_type)
       |WHERE abs(1000000.0 * (e.c - CAST(s AS DOUBLE)/n) /
-      |  sqrt(CAST(ss AS DOUBLE)/n - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n))) > 2000000
+      |  sqrt(greatest(CAST(ss AS DOUBLE)/n - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n), 0.0))) > 2000000
       |GROUP BY 1, 2 ORDER BY e.event_type""".stripMargin) { (s, dir) =>
     val e = t(s, dir, "events")
       .select(col("event_id"), col("event_type"),
@@ -762,7 +766,7 @@ object AggQueries {
     e.join(broadcast(st), "event_type")
       .where(expr(
         """abs(1000000.0 * (c - CAST(s AS DOUBLE)/n) /
-          |  sqrt(CAST(ss AS DOUBLE)/n - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n))) > 2000000""".stripMargin))
+          |  sqrt(greatest(CAST(ss AS DOUBLE)/n - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n), 0.0))) > 2000000""".stripMargin))
       .groupBy("event_type", "n")
       .agg(count(lit(1)).as("n_outliers"))
       .select(col("event_type"), col("n"), col("n_outliers"))

@@ -354,8 +354,11 @@ object JoinQueries {
   /** O8 — serial-continuity audit (ingest integrity: the engine's
     * analog of the reference's consistency checks, sql.py:1205
     * checkbalances_MP — except over serials, where a hole means a lost
-    * block/tx). Self-checking corpus: every 97th key is dropped first,
-    * and the audit must report exactly those holes.
+    * block/tx). Self-checking corpus: every 97th key (except 0, which
+    * has no predecessor to report it from) is dropped first, and the
+    * audit must report exactly those interior holes — `GapAuditSpec`
+    * asserts the recovered set equals the planted set, so a symmetric
+    * Spark+oracle bug cannot hide behind engine agreement.
     *
     * NOT a global-ORDER-BY window (the repo bans single-task data
     * paths): keys bucket by k div 8192, lead() runs per bucket, and
@@ -370,12 +373,12 @@ object JoinQueries {
     """WITH s AS (
       |  SELECT o_orderkey AS k,
       |    lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
-      |  FROM orders WHERE o_orderkey % 97 <> 0)
+      |  FROM orders WHERE o_orderkey % 97 <> 0 OR o_orderkey = 0)
       |SELECT k AS gap_after, CAST(nxt - k - 1 AS BIGINT) AS n_missing
       |FROM s WHERE nxt - k > 1 ORDER BY gap_after""".stripMargin) {
     (s, dir) =>
       val keys = t(s, dir, "orders")
-        .where(col("o_orderkey") % 97 =!= 0)
+        .where(col("o_orderkey") % 97 =!= 0 || col("o_orderkey") === 0)
         .select(col("o_orderkey").as("k"))
         .withColumn("bucket", expr("k div 8192"))
       val wb = Window.partitionBy("bucket").orderBy("k")
