@@ -199,7 +199,7 @@ object SimilarityQueries {
     * stage funnels a full candidate set through one task per query.
     * Input: (qid, cid, cos_micros); ties break on cid ascending.
     */
-  private def twoPhaseTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def twoPhaseTopK(scored: DataFrame, k: Int): DataFrame = {
     val partial = scored
       .select(col("qid"),
         struct((-col("cos_micros")).as("neg"), col("cid"),
