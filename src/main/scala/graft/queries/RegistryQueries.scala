@@ -19,6 +19,12 @@ import graft.operators.PropertyRegistry
   * pid%4=2) or appoints a delegate (73, pid%4=0). Every third pid is
   * divisible (×1e8 base units). The oracle re-derives all of it with
   * windows + conditional aggregation.
+  *
+  * Synthetic display amounts are bounded (`cents % 100000`) so the ×1e8
+  * divisible scaling stays far from the BIGINT edge as SF grows — at
+  * sf0.1 the unbounded sum × 1e8 overflowed INT64 (found by running the
+  * whole gate at 10× the driver's SF). The bound keeps every derived
+  * token quantity ≤ ~2e16 through sf10.
   */
 object RegistryQueries {
 
@@ -26,7 +32,7 @@ object RegistryQueries {
     "property_registry",
     """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
       |    1 + o_orderkey % 40 AS pid,
-      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) % 100000 AS cents,
       |    o_orderpriority AS pri, o_orderstatus AS st
       |  FROM orders),
       |r AS (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY k) AS rn,
@@ -101,7 +107,7 @@ object RegistryQueries {
     t(s, dir, "orders")
       .select($"o_orderkey".as("k"), $"o_custkey".as("c"),
         (lit(1L) + $"o_orderkey" % 40).as("pid"),
-        round($"o_totalprice" * 100).cast(LongType).as("cents"),
+        (round($"o_totalprice" * 100).cast(LongType) % 100000).as("cents"),
         $"o_orderpriority".as("pri"), $"o_orderstatus".as("st"))
       .withColumn("rn", row_number().over(w))
       .withColumn("cnt", count(lit(1)).over(wc))
