@@ -807,7 +807,34 @@ object AggQueries {
       .orderBy("col")
   }
 
+  /** W11 — centered moving aggregate (ROWS BETWEEN n PRECEDING AND n
+    * FOLLOWING): the smoothing frame dashboards use, and the one frame
+    * shape the suite didn't yet pin (trailing ROWS: a1; trailing RANGE:
+    * a7; cumulative: w10). Sum+count are emitted instead of the mean so
+    * the gate stays in exact integers.
+    */
+  val w11 = Q(
+    "w11_centered_window",
+    """SELECT event_id,
+      |  CAST(sum(v) OVER w AS BIGINT) AS w_sum_cents,
+      |  count(*) OVER w AS w_n
+      |FROM (SELECT event_id, user_id, ts,
+      |        CAST(round(value * 100) AS BIGINT) AS v FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-2, 2)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast(LongType).as("v"))
+      .select(col("event_id"),
+        sum("v").over(w).cast(LongType).as("w_sum_cents"),
+        count(lit(1)).over(w).as("w_n"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] =
     Seq(a1, a10, a4, a5, a6, a7, a8, a9, a11, a12, a14, a15, a16, a17, a18,
-      a19, a20, a21, a22, w6, w8, w9, w10, skew, skewJoin)
+      a19, a20, a21, a22, w6, w8, w9, w10, w11, skew, skewJoin)
 }
