@@ -103,6 +103,25 @@ object Balances {
       last, isFrozen)
   }
 
+  /** M6 — reset-from-node (reference sql.py:1134-1203
+    * resetbalancesfromsnapshot: truncate the derived table, reload the
+    * node's authoritative rows, resume deriving on top). Append-only
+    * form: the snapshot rows become pseudo ledger entries (carrying the
+    * snapshot's own serial), unioned with the post-snapshot ledger, and
+    * the fast aggregate runs once — result = snapshot ⊕ Σ(later deltas),
+    * regardless of what the pre-snapshot facts said. One shuffle, no
+    * mutation, trivially idempotent (M7 backfill re-runs reuse it).
+    */
+  def resumeFromSnapshot(snapshot: Dataset[AddressBalance],
+      ledger: Dataset[LedgerEntry]): Dataset[AddressBalance] = {
+    val spark = snapshot.sparkSession
+    import spark.implicits._
+    val snapEntries = snapshot.map(b => LedgerEntry(b.address, b.propertyId,
+      "Snapshot", b.lastTxDbSerialNum, 0, "snapshot", b.available,
+      b.reserved, b.accepted, b.frozen))
+    derive(snapEntries.union(ledger))
+  }
+
   /** A2 — after-balance snapshots: the same cumulative sum evaluated at
     * every ledger row via a window — one shuffle on (address,
     * propertyId), sort by serial within partitions.
