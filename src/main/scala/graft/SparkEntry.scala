@@ -17,7 +17,8 @@ object SparkEntry {
       TextQueries.all ++ DedupQueries.all ++ CurationQueries.all ++
       SimilarityQueries.all ++
       MultimodalQueries.all ++ SourceQueries.all ++ LedgerQueries.all ++
-      MetaDexQueries.all ++ RegistryQueries.all ++ PipelineQueries.all
+      MetaDexQueries.all ++ RegistryQueries.all ++ PipelineQueries.all ++
+      StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The wallet serving query (SURVEY §3.3, J9): facts ⋈ entity ⋈

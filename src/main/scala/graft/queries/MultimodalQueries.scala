@@ -6,10 +6,10 @@ import org.apache.spark.sql.types._
 import graft.Tables.t
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with
-  * typed metadata. The real decode (image/audio libs) is stubbed with a
-  * deterministic fake; the Spark-side plumbing — binary columns, schema,
-  * batched partition-level processing, partitioning — is real and
-  * oracle-checked where SQL-expressible.
+  * typed metadata. The image path uses a REAL pure-JVM PNG codec
+  * ([[Multimodal.decodePng]], javax.imageio) over deterministic
+  * synthetic images; the Spark-side plumbing — binary columns, schema,
+  * batched partition-level processing — is oracle-checked end to end.
   */
 object MultimodalQueries {
 
@@ -40,42 +40,45 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
-  /** Batched partition-level decode — the Scala analog of a pandas-UDF
-    * `mapInPandas` stage: rows flow through `mapPartitions` in batches,
-    * the "decoder" (STUB: deterministic byte-sum features over the blob)
-    * is called once per row inside the partition iterator, and the
-    * output schema is declared up front. Swapping the stub for a real
-    * image/audio codec changes only `decodeStub`. The stub's features
-    * ARE relational for an ASCII corpus (byte-sum = Σ ascii codes,
-    * header = big-endian first-4-bytes int), so DuckDB re-derives them
-    * and the partition-iterator contract gets a full hash gate, not a
-    * rows-only check.
+  /** Batched partition-level decode with a REAL codec — the Scala
+    * analog of a pandas-UDF `mapInPandas` stage: an image column (PNG
+    * bytes, synthesized per doc since the corpus ships no media) flows
+    * through `mapPartitions`, and [[Multimodal.decodePng]] — an actual
+    * `javax.imageio` PNG parse, not a stub — extracts width, height and
+    * the pixel checksum per row inside the partition iterator. The
+    * synthetic images have closed-form pixels (gray(i) = (doc_id·31+i)
+    * mod 256 over a doc_id-derived w×h), so the oracle re-derives the
+    * DECODED features relationally and the whole encode→decode round
+    * trip gets a full hash gate: a codec that mis-parses dimensions,
+    * strides or sample values fails the gate.
     */
   val decodeBatch = Q(
     "mm_decode_batch",
-    """SELECT doc_id,
-      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-      |  CAST(list_sum(list_transform(string_split(text, ''),
-      |    c -> ascii(c))) AS BIGINT) AS feat_sum,
-      |  CAST(CASE WHEN length(text) = 0 THEN 0
-      |    ELSE CAST('0x' || lower(hex(encode(substr(text, 1, 4))))
-      |      AS BIGINT) END AS BIGINT) AS feat_head
-      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), expr("encode(text, 'utf-8')").as("blob"))
+    """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+      |    8 + (doc_id * 7) % 9 AS h FROM documents),
+      |p AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d)
+      |SELECT doc_id, CAST(max(w) AS INT) AS width,
+      |  CAST(max(h) AS INT) AS height,
+      |  CAST(sum((doc_id * 31 + i) % 256) AS BIGINT) AS pix_sum
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    // Ingestion stand-in: one PNG blob per doc (in production this
+    // column arrives from the media store; only this line changes).
+    val blobs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id, Multimodal.syntheticPng(id)))
+      .toDF("doc_id", "img")
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
-      StructField("n_bytes", IntegerType, nullable = false),
-      StructField("feat_sum", LongType, nullable = false),
-      StructField("feat_head", LongType, nullable = false)))
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("pix_sum", LongType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
-    docs.mapPartitions { it =>
+    blobs.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        val blob = r.getAs[Array[Byte]](1)
-        val (sum, head) = Multimodal.decodeStub(blob)
-        Row(id, blob.length, sum, head)
+        val (w, h, sum) = Multimodal.decodePng(r.getAs[Array[Byte]](1))
+        Row(id, w, h, sum)
       }
     }(enc).orderBy("doc_id").toDF()
   }
@@ -118,22 +121,52 @@ object MultimodalQueries {
   val all: Seq[Q] = Seq(binaryMeta, decodeBatch, frameSample)
 }
 
-/** The pluggable decode seam for multimodal blobs. */
+/** The decode seam for multimodal blobs — a REAL pure-JVM image codec
+  * (`javax.imageio` PNG). Executor-local, no native libs, no driver
+  * round trip; a JNI-backed codec (libjpeg/ffmpeg) drops into the same
+  * two functions without touching the dataflow.
+  */
 object Multimodal {
-  /** STUB standing in for an image/audio decoder (codecs are not in
-    * this container): deterministic features = (sum of unsigned bytes,
-    * big-endian first-4-bytes int). Replace with a real codec without
-    * touching the dataflow.
+
+  /** Deterministic grayscale test image for doc `id`: dimensions
+    * w = 8 + id mod 9, h = 8 + 7·id mod 9; pixel i (row-major) has
+    * gray value (id·31 + i) mod 256 — a closed form the oracle can
+    * recompute without any codec. Encoded as real PNG bytes.
     */
-  def decodeStub(blob: Array[Byte]): (Long, Long) = {
-    var sum = 0L
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + (id * 7) % 9).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
     var i = 0
-    while (i < blob.length) { sum += blob(i) & 0xff; i += 1 }
-    var head = 0L
-    var j = 0
-    while (j < math.min(4, blob.length)) {
-      head = (head << 8) | (blob(j) & 0xff); j += 1
+    while (i < w * h) {
+      raster.setSample(i % w, i / w, 0, ((id * 31 + i) % 256).toInt)
+      i += 1
     }
-    (sum, head)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode a PNG blob: (width, height, Σ gray samples). PNG is
+    * lossless, so the checksum of the DECODED raster must equal the
+    * closed form of the generator — the round-trip property the gate
+    * checks end-to-end.
+    */
+  def decodePng(blob: Array[Byte]): (Int, Int, Long) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(blob))
+    val raster = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    (w, h, sum)
   }
 }
