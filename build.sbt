@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout lines of `sbt runMain` output; the
+// default LoggedOutput strategy prefixes every forked line with
+// "[info] " and appends a "[success] Total time" trailer, both of which
+// defeat a line-oriented JSON parse. Emit the child's stdout raw and
+// drop the success trailer so the bench JSON line is the last line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

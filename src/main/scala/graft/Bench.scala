@@ -13,8 +13,13 @@ import org.apache.spark.sql.SparkSession
   *    map goes to an earlier stdout line and to BENCH_DETAIL.json.
   *  - Single-run timings on this box swing 2-4x per query from JVM
   *    effects (cold C2/Janino codegen, GC). Queries whose first run is
-  *    ≥1 s get a second run and report the minimum — steady-state
-  *    throughput, which is what a long-lived cluster job sees.
+  *    ≥1 s get two more runs and report the MEDIAN of successful runs
+  *    — min flattered round-over-round comparisons; the median is the
+  *    honest steady-state estimate under this box's variance.
+  *  - A query with no successful run reports -1.0 as a visible
+  *    sentinel but is EXCLUDED from the total (it used to be summed,
+  *    silently shrinking the headline by 1 s per failure); the final
+  *    line carries n_failed explicitly.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -71,23 +76,28 @@ object Bench {
       (dt, ok)
     }
     val firstPass = qmap.toSeq.sortBy(_._1).map { case (n, fn) => (n, fn, timed(fn)) }
-    // Steady-state pass: successful runs ≥1 s get one more run; the min
-    // over SUCCESSFUL runs is reported. A query with no successful run
-    // reports -1 so the failure is visible, not averaged away.
+    // Steady-state pass: successful runs ≥1 s get two more runs; the
+    // MEDIAN over successful runs is reported. A query with no
+    // successful run reports -1 so the failure is visible, not
+    // averaged away.
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = firstPass.map {
       case (n, _, (t, true)) if t < 1.0 => n -> t
       case (n, fn, (t, true)) =>
-        timed(fn) match {
-          case (t2, true) => n -> math.min(t, t2)
-          case (_, false) => n -> t
-        }
+        val extra = Seq(timed(fn), timed(fn)).collect { case (t2, true) => t2 }
+        n -> median(t +: extra)
       case (n, _, (_, false)) => n -> -1.0
     }
     def fmt(v: Double): String = f"$v%.3f"
     def mapJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val nFailed = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
     val detail =
       s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":${mapJson(results)},"sf":"$sfDir"}"""
     // Full per-query map: one stdout line (may be cut from the tail) and
@@ -104,7 +114,7 @@ object Bench {
     // the 2000-char tail window with room for the sbt trailer.
     val top = results.sortBy(-_._2).take(25).sortBy(_._1)
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapJson(top)},"n_queries":${results.size},"top_only":25,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapJson(top)},"n_queries":${results.size},"n_failed":$nFailed,"top_only":25,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -112,6 +122,7 @@ object Bench {
     * skew the next measurement.
     */
   private def dropCaches(spark: SparkSession): Unit = {
+    graft.queries.Q.releaseScoped()
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+/** Registry of cached intermediates whose lifetime is ONE query
+  * evaluation. Operators and queries register what they persist (or
+  * localCheckpoint); the runner — Verify, Bench, or any long-lived
+  * session embedding the library — calls [[release]] after consuming a
+  * query's result, so cache blocks never accumulate across queries.
+  */
+object CacheScope {
+  private val scoped = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+
+  /** Persist and register in one step. */
+  def persist[T](ds: Dataset[T]): Dataset[T] = {
+    ds.persist()
+    register(ds)
+    ds
+  }
+
+  /** Register an already-cached dataset for the next [[release]]. For
+    * a localCheckpoint'ed dataset, `Dataset.unpersist` is a NO-OP (the
+    * blocks are RDD-level, invisible to the SQL cache manager), so the
+    * release drops the underlying checkpoint RDD from the plan's
+    * LogicalRDD leaves. The dataset must be fully materialized before
+    * release (checkpoints cannot recompute once unpersisted).
+    */
+  def register(ds: Dataset[_]): Unit = {
+    val ckRdds = ds.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    scoped.synchronized {
+      scoped += { () =>
+        ds.unpersist(blocking = false)
+        ckRdds.foreach(_.unpersist(blocking = false))
+      }
+    }
+  }
+
+  /** Unpersist every registered intermediate since the last release. */
+  def release(): Unit = scoped.synchronized {
+    scoped.foreach(_.apply())
+    scoped.clear()
+  }
+}

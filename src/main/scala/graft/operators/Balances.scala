@@ -19,6 +19,18 @@ import graft.model._
   *    so the sequential region touches a vanishing fraction of data at
   *    100 TB.
   */
+/** One row of the merged freeze-fold stream: kind 0 = ledger entry,
+  * kind 1 = freeze marker — a freeze at serial s applies AFTER the
+  * tx's own ledger rows at s (the reference reads the balance as-of
+  * the freeze tx's processing point, sql.py:2344-2356), so (serial,
+  * kind, idx) is the exact fold order as a SORT KEY. Top-level because
+  * whole-stage codegen instantiates it from generated Java.
+  */
+final case class BalEvent(address: String, propertyId: Long,
+    serial: Long, kind: Int, idx: Int, availableDelta: Long,
+    reservedDelta: Long, acceptedDelta: Long, frozenDelta: Long,
+    freeze: Boolean)
+
 object Balances {
 
   /** Fast path: final balances = Σ deltas per (address, propertyId). */
@@ -40,7 +52,10 @@ object Balances {
 
   /** Exact path: keys hit by freeze events are folded sequentially;
     * all other keys use the fast aggregate. The union is the complete
-    * balance table.
+    * balance table. The fold is a secondary sort (repartition +
+    * sortWithinPartitions + [[GroupRuns]]): per-key state is five
+    * longs and a flag — O(1) task memory per key regardless of how
+    * long one address's history is.
     */
   def deriveWithFreezes(ledger: Dataset[LedgerEntry],
       freezes: Dataset[FreezeEvent]): Dataset[AddressBalance] = {
@@ -53,51 +68,51 @@ object Balances {
     val cold = ledger.join(frozenKeys, Seq("address", "propertyId"),
       "left_anti").as[LedgerEntry]
 
-    val folded = hot
-      .groupByKey(e => (e.address, e.propertyId))
-      .cogroup(freezes.groupByKey(f => (f.address, f.propertyId))) {
-        case ((addr, pid), entries, marks) =>
-          Iterator.single(foldKey(addr, pid,
-            entries.toSeq.sortBy(e => (e.txDbSerialNum, e.addressTxIndex)),
-            marks.toSeq.sortBy(_.txDbSerialNum)))
+    val merged = hot.map(e => BalEvent(e.address, e.propertyId,
+        e.txDbSerialNum, 0, e.addressTxIndex, e.availableDelta,
+        e.reservedDelta, e.acceptedDelta, e.frozenDelta, freeze = false))
+      .union(freezes.map(f => BalEvent(f.address, f.propertyId,
+        f.txDbSerialNum, 1, 0, 0, 0, 0, 0, f.freeze)))
+
+    val folded = merged
+      .repartition($"address", $"propertyId")
+      .sortWithinPartitions($"address", $"propertyId", $"serial",
+        $"kind", $"idx")
+      .mapPartitions { it =>
+        new GroupRuns(it.map(e => ((e.address, e.propertyId), e)))
+          .map { case ((addr, pid), run) => foldRun(addr, pid, run) }
       }
     folded.union(derive(cold))
   }
 
-  /** Sequential fold of one (address, propertyId) — mirrors the
-    * reference's row-at-a-time updateBalance with the freeze rules:
-    * freeze moves the CURRENT available to frozen (snapshot), credits
-    * while frozen land in frozen instead of available, unfreeze returns
-    * the frozen pot to available.
+  /** Sequential fold of one (address, propertyId) event stream —
+    * mirrors the reference's row-at-a-time updateBalance with the
+    * freeze rules: freeze moves the CURRENT available to frozen
+    * (snapshot), credits while frozen land in frozen instead of
+    * available, unfreeze returns the frozen pot to available. Single
+    * pass over the serial-sorted run; O(1) state.
     */
-  private def foldKey(addr: String, pid: Long, entries: Seq[LedgerEntry],
-      marks: Seq[FreezeEvent]): AddressBalance = {
+  private def foldRun(addr: String, pid: Long,
+      events: Iterator[BalEvent]): AddressBalance = {
     var available = 0L; var reserved = 0L; var accepted = 0L
     var frozen = 0L; var isFrozen = false; var last = 0L
 
-    val events: Seq[Either[LedgerEntry, FreezeEvent]] =
-      (entries.map(Left(_)) ++ marks.map(Right(_))).sortBy {
-        // Freeze marker of serial s applies AFTER the tx's own ledger
-        // rows at s (the reference reads the balance as-of the freeze
-        // tx's processing point, sql.py:2344-2356).
-        case Left(e) => (e.txDbSerialNum, 0, e.addressTxIndex)
-        case Right(f) => (f.txDbSerialNum, 1, 0)
-      }
-    events.foreach {
-      case Left(e) =>
+    events.foreach { e =>
+      if (e.kind == 0) {
         if (isFrozen && e.availableDelta > 0) frozen += e.availableDelta
         else available += e.availableDelta
         reserved += e.reservedDelta
         accepted += e.acceptedDelta
         frozen += e.frozenDelta
-        last = math.max(last, e.txDbSerialNum)
-      case Right(f) =>
-        if (f.freeze && !isFrozen) {
+        last = math.max(last, e.serial)
+      } else {
+        if (e.freeze && !isFrozen) {
           frozen += available; available = 0; isFrozen = true
-        } else if (!f.freeze && isFrozen) {
+        } else if (!e.freeze && isFrozen) {
           available += frozen; frozen = 0; isFrozen = false
         }
-        last = math.max(last, f.txDbSerialNum)
+        last = math.max(last, e.serial)
+      }
     }
     AddressBalance(addr, pid, available, reserved, accepted, frozen,
       last, isFrozen)

@@ -78,15 +78,33 @@ object DedupClusters {
           coalesce(col("llabel"), col("label")).as("label"))
         .localCheckpoint()
       val nextSum = labelSum(jumped)
+      // labelSum materialized jumped's checkpoint, so the previous
+      // round's labels and this round's stepped are now dead weight —
+      // release them HERE rather than letting checkpoints accumulate
+      // one per round until the harness sweep. (Checkpoint blocks are
+      // RDD-level: Dataset.unpersist would be a no-op.)
+      dropCheckpoint(labels)
+      dropCheckpoint(stepped)
       labels = jumped
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }
     sym.unpersist(blocking = false)
+    // the FINAL labels stay cached for the consumer's action; scope
+    // them so the runner's post-query release reclaims the blocks
+    graft.CacheScope.register(labels)
     require(converged || iter < maxIters,
       s"connected components did not converge within $maxIters rounds — " +
         "partial labels would split duplicate clusters; raise maxIters")
     labels.withColumnRenamed("label", "component")
   }
+
+  /** Unpersist the checkpoint RDD under a localCheckpoint'ed dataset
+    * (its data is already consumed by the next round's checkpoint).
+    */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
 }

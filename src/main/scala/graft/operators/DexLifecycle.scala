@@ -13,11 +13,13 @@ import graft.model.Roles._
   * refunds its unaccepted remainder; accepts expire at
   * `timelimit + acceptBlock`; purchases settle reserved/accepted into
   * the buyer's available — all order-dependent per
-  * (seller, propertyIdSelling), so: ONE `flatMapGroups` fold per key,
-  * events sorted by serial (SURVEY §7.4.2). Keys are independent —
-  * the fold shuffles once on the seller/pair key and parallelizes
-  * across sellers; group sizes are the per-seller offer history, tiny
-  * relative to total volume at any scale.
+  * (seller, propertyIdSelling), so: ONE secondary-sorted stream fold
+  * per key (repartition + sortWithinPartitions + [[GroupRuns]],
+  * SURVEY §7.4.2). Keys are independent — the fold shuffles once on
+  * the seller/pair key and parallelizes across sellers; the per-key
+  * input streams through without materializing, so even a pathological
+  * seller history is bounded by its OUTPUT size, not by an input
+  * buffer + sort copy in task memory.
   *
   * Outputs: final [[ActiveOffer]]/[[OfferAccept]] states plus the
   * SYNTHETIC ledger entries for every balance effect (reserve, refund,
@@ -35,48 +37,75 @@ object DexLifecycle {
     * equivalent because expiry effects only need to precede the next
     * event that could observe them).
     */
+  /** Fold key of one DEx event: 22 accepts and -22 purchases are sent
+    * BY the buyer TO the seller — the key is always the seller's
+    * address plus the property being sold.
+    */
+  private def keyOf(tx: RawTx): (String, Long) = {
+    val pid = if (tx.type_int == -22)
+      tx.purchases.headOption.map(_.propertyid).getOrElse(tx.propertyid)
+    else tx.propertyid
+    val seller = tx.type_int match {
+      case -22 => tx.purchases.headOption.map(_.referenceaddress)
+        .getOrElse(tx.sendingaddress)
+      case 22 => tx.referenceaddress.getOrElse(tx.sendingaddress)
+      case _ => tx.sendingaddress
+    }
+    (seller, pid)
+  }
+
   def derive(txs: Dataset[(RawTx, Long)], tipBlock: Long): Dataset[DexResult] = {
     val spark = txs.sparkSession
     import spark.implicits._
-    txs
+    val keyed = txs
       .filter(t => t._1.type_int == 20 || t._1.type_int == 22 ||
         t._1.type_int == -22)
       // One BTC payment can settle accepts held by SEVERAL sellers: the
       // reference iterates purchases[] and each purchase names its own
       // referenceaddress/propertyid (sql.py:1966-2030). Explode -22 into
       // one synthetic single-purchase event per purchase so each lands in
-      // its own (seller, pid) fold group; Seq.sortBy is stable, so
-      // same-serial siblings keep purchase order within a group.
+      // its own (seller, pid) fold group; the purchase index is the
+      // same-serial tiebreaker, preserving the reference's purchase
+      // order (sort-after-shuffle is not stable, so order must be in
+      // the sort key, not arrival).
       .flatMap { case (tx, serial) =>
         if (tx.type_int == -22)
-          tx.purchases.filter(_.valid)
-            .map(p => (tx.copy(purchases = Seq(p)), serial))
-        else Seq((tx, serial))
-      }
-      .groupByKey { case (tx, _) =>
-        val pid = if (tx.type_int == -22)
-          tx.purchases.headOption.map(_.propertyid).getOrElse(tx.propertyid)
-        else tx.propertyid
-        // 22 accepts and -22 purchases are sent BY the buyer TO the
-        // seller — the fold key is always the seller's address.
-        val seller = tx.type_int match {
-          case -22 => tx.purchases.headOption.map(_.referenceaddress)
-            .getOrElse(tx.sendingaddress)
-          case 22 => tx.referenceaddress.getOrElse(tx.sendingaddress)
-          case _ => tx.sendingaddress
+          tx.purchases.filter(_.valid).zipWithIndex.map { case (p, i) =>
+            val (seller, pid) = keyOf(tx.copy(purchases = Seq(p)))
+            (seller, pid, tx.copy(purchases = Seq(p)), serial, i)
+          }
+        else {
+          val (seller, pid) = keyOf(tx)
+          Seq((seller, pid, tx, serial, 0))
         }
-        (seller, pid)
       }
-      .mapGroups { (key: (String, Long), it: Iterator[(RawTx, Long)]) =>
-        foldKey(key._1, key._2, it.toSeq.sortBy(_._2), tipBlock)
+    // Secondary sort instead of groupByKey+toSeq: one shuffle on the
+    // (seller, pid) key, serial order established by the partition
+    // sort, and each key's run folds as a STREAM — a pathological
+    // seller history costs O(fold state + its output), never an
+    // O(group)-sized input buffer + sort copy in task memory.
+    keyed
+      .repartition($"_1", $"_2")
+      .sortWithinPartitions($"_1", $"_2", $"_4", $"_5")
+      .mapPartitions { it =>
+        new GroupRuns(it.map(r => ((r._1, r._2), (r._3, r._4))))
+          .map { case ((seller, pid), run) =>
+            foldKey(seller, pid, run, tipBlock)
+          }
       }
   }
 
-  /** Sequential fold of one (seller, propertyIdSelling) order-book
-    * history. Mirrors the reference's per-tx handlers exactly; see the
-    * per-case citations.
-    */
+  /** Seq convenience overload (specs build small fixtures). */
   def foldKey(seller: String, pid: Long, events: Seq[(RawTx, Long)],
+      tipBlock: Long): DexResult =
+    foldKey(seller, pid, events.iterator, tipBlock)
+
+  /** Sequential fold of one (seller, propertyIdSelling) order-book
+    * history, consumed as a serial-ordered STREAM (single pass, O(1)
+    * input buffering). Mirrors the reference's per-tx handlers exactly;
+    * see the per-case citations.
+    */
+  def foldKey(seller: String, pid: Long, events: Iterator[(RawTx, Long)],
       tipBlock: Long): DexResult = {
     var offer: Option[ActiveOffer] = None
     val doneOffers = Seq.newBuilder[ActiveOffer]

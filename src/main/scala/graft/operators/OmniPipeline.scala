@@ -17,6 +17,15 @@ object OmniPipeline {
 
   private var lastStamperCache: Option[org.apache.spark.rdd.RDD[_]] = None
 
+  /** Release the one live stamper cache (see [[stamp]]); harnesses and
+    * long-lived sessions call this with [[graft.CacheScope.release]]
+    * after consuming a derivation.
+    */
+  def releaseStamperCache(): Unit = OmniPipeline.synchronized {
+    lastStamperCache.foreach(_.unpersist(blocking = false))
+    lastStamperCache = None
+  }
+
   final case class Derived(
       txs: Dataset[(RawTx, Long)],
       ledger: Dataset[LedgerEntry],

@@ -692,7 +692,8 @@ object AggQueries {
       |  FROM e GROUP BY 1),
       |grid AS (
       |  SELECT user_id,
-      |    start + 3600000000 * unnest(range(0, ((hi - 1 - start) // 3600000000) + 1)) AS gus
+      |    start + 3600000000 * unnest(range(0,
+      |      (greatest(hi - 1 - start, 0) // 3600000000) + 1)) AS gus
       |  FROM bounds),
       |u AS (
       |  SELECT user_id, us, cents, 0 AS is_grid FROM e
@@ -715,8 +716,12 @@ object AggQueries {
     val grid = e.groupBy("user_id")
       .agg((min("us") - (min("us") % 3600000000L)).as("start"),
         max("us").as("hi"))
+      // greatest(...,0) keeps the operand non-negative by construction:
+      // a user whose only distinct us sits exactly on an hour boundary
+      // makes hi == start, where Spark's truncating `div` on -1 and
+      // DuckDB's flooring `//` would disagree on the grid row count
       .select(col("user_id"), explode(expr(
-        """transform(sequence(0L, (hi - 1 - start) div 3600000000),
+        """transform(sequence(0L, greatest(hi - 1 - start, 0L) div 3600000000),
           |  k -> start + 3600000000 * k)""".stripMargin)).as("gus"))
     val u = e.withColumn("is_grid", lit(0))
       .unionByName(grid.select(col("user_id"), col("gus").as("us"),
@@ -741,9 +746,12 @@ object AggQueries {
     * inputs in every engine. The variance is clamped at 0 before the
     * sqrt: a constant-valued group whose exact Σx² exceeds 2^53 can
     * round to a TINY NEGATIVE fp variance, where DuckDB's sqrt throws
-    * while Spark yields NaN; clamped, both engines divide by zero and
-    * agree on NULL (no outliers in a zero-variance group). The stats table is key-cardinality-sized →
-    * broadcast back; flagging is map-side.
+    * while Spark yields NaN; clamped, both engines compute 0/0 = NaN,
+    * and both order NaN ABOVE every number, so abs(NaN) > threshold is
+    * TRUE — a zero-variance group flags ALL of its rows (the engines
+    * agree, so the gate holds; callers wanting "no outliers" semantics
+    * add a variance > 0 predicate). The stats table is
+    * key-cardinality-sized → broadcast back; flagging is map-side.
     */
   val a21 = Q(
     "a21_zscore_outliers",

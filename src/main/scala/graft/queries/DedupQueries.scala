@@ -95,7 +95,7 @@ object DedupQueries {
         explode(expr(shingleSparkExpr)).as("shingle"))
       // reused 4× downstream (hash, counts, both sides of the shared
       // join) — persist so the explode runs once
-      .persist()
+      .transform(Q.persistScoped)
 
   private val shingledSql =
     """arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM corpus
@@ -239,7 +239,7 @@ object DedupQueries {
     val mh = hashed.groupBy("doc_id")
       .agg(min(perm(0)).as("mh0"),
         (1 until 8).map(k => min(perm(k)).as(s"mh$k")): _*)
-      .persist()
+      .transform(Q.persistScoped)
     // EAGER: the band table sits on BOTH sides of the candidate
     // self-join, so without a materialized mh the whole
     // shingle→8×md5→min-agg pipeline (the query's dominant cost) is
@@ -255,7 +255,7 @@ object DedupQueries {
         col("band") === col("band_b") && col("sig") === col("sig_b") &&
           col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-      .persist()
+      .transform(Q.persistScoped)
     // EAGER materialization: lazy persist does not deduplicate the three
     // downstream consumers' CONCURRENT stages — they would race and each
     // recompute the band pipeline. One count() fills both the cand and

@@ -197,7 +197,7 @@ object LedgerQueries {
       .where($"rn" === 1)
       .select($"user_id", $"event_id", $"sec", $"want",
         ($"user_id" % 50).as("sid"))
-      .persist()
+      .transform(Q.persistScoped)
     // EAGER: firsts feeds both the offer amounts and the accept stream;
     // lazy persist would let the two downstream stages race and each
     // re-run the events scan + window.
@@ -223,7 +223,7 @@ object LedgerQueries {
           divisible = false, amount = BigDecimal(want)), eid)
       }
     val dex = DexLifecycle.derive(offers.union(accepts), tipBlock = 1)
-      .persist()
+      .transform(Q.persistScoped)
     // EAGER: the offer census and the accept census both consume the
     // fold output — unpersisted, the whole groupByKey fold runs twice.
     dex.count()

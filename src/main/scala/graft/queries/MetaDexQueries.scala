@@ -55,7 +55,7 @@ object MetaDexQueries {
           desireddivisible = false,
           matches = (prev ++ next).toSeq), k)
       }
-      .persist()
+      .transform(Q.persistScoped)
     ds.count() // EAGER: lazy persist would not dedupe racing consumers
     ds
   }

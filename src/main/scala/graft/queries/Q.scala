@@ -18,6 +18,18 @@ object Q {
       run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, Some(oracleSql))
 
+  /** Persist an intermediate whose lifetime is ONE query evaluation —
+    * see [[graft.CacheScope]]. Harnesses call [[releaseScoped]] after
+    * each query's action, so cache blocks never accumulate.
+    */
+  def persistScoped[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] =
+    graft.CacheScope.persist(ds)
+
+  /** Unpersist every scoped intermediate registered since the last
+    * release. Call after each query's action completes.
+    */
+  def releaseScoped(): Unit = graft.CacheScope.release()
+
   def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, None)
 

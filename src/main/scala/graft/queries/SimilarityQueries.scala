@@ -259,7 +259,7 @@ object SimilarityQueries {
     (s, dir) =>
       // persisted: init collect, the update pass, and the final assign
       // consume base SEQUENTIALLY, so a lazy persist dedupes the scans
-      val base = quantized(s, dir).persist()
+      val base = Q.persistScoped(quantized(s, dir))
       val cs = graft.operators.KMeans.centroids(base, 8, 2)
       graft.operators.KMeans.assign(base, cs)
         .select("vec_id", "cluster", "d2")
@@ -302,7 +302,7 @@ object SimilarityQueries {
       |SELECT qid, rank, cid, cos_micros FROM ranked WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
     import graft.operators.KMeans
-    val base = quantized(s, dir).persist()
+    val base = Q.persistScoped(quantized(s, dir))
     val cs = KMeans.centroids(base, 8, 2)
     val assigned = KMeans.assign(base, cs)
     val probed = assigned.where(col("vec_id") < 8)

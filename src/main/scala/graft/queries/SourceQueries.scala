@@ -11,6 +11,33 @@ import graft.Tables.t
   */
 object SourceQueries {
 
+  /** Filesystem-safe tag from the Spark application id: stable within
+    * a session (re-runs overwrite, nothing accumulates per run) and
+    * unique across CONCURRENT sessions, so two Bench/Verify processes
+    * on one box cannot race on a shared sink path or table name.
+    */
+  private def appTag(s: org.apache.spark.sql.SparkSession): String =
+    s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+    f.delete(); ()
+  }
+
+  /** Best-effort removal of PAST sessions' leftovers (same prefix,
+    * different tag, untouched for 6+ hours — a live concurrent session
+    * is by definition younger), bounding disk growth across rounds.
+    */
+  private def cleanStaleSiblings(parent: java.io.File, prefix: String,
+      keep: String): Unit = {
+    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    Option(parent.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.startsWith(prefix) && f.getName != keep &&
+          f.lastModified() < cutoff)
+        try rm(f) catch { case _: Throwable => () }
+    }
+  }
+
   /** S2/S3 — schema'd JSON parsing: from_json with an explicit schema
     * (the engine's contract for raw payloads), vs the oracle's JSON-path
     * extraction. At scale this replaces per-row RPC decode: one codegen'd
@@ -69,11 +96,15 @@ object SourceQueries {
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
-    // fixed path + overwrite, NOT a fresh temp dir per invocation — the
-    // driver runs this several times per round and per-run temp copies
-    // of the events table would accumulate until the disk fills
-    val tmp = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_part_events").toString
+    // app-scoped path + overwrite, NOT a fresh temp dir per invocation
+    // — re-runs within a session overwrite in place, concurrent
+    // sessions get disjoint paths, and stale past-session copies are
+    // swept so the events-table copies can't accumulate until the disk
+    // fills
+    val dirName = s"graft_part_events_${appTag(s)}"
+    cleanStaleSiblings(new java.io.File(sys.props("java.io.tmpdir")),
+      "graft_part_events_", dirName)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"), dirName).toString
     t(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("value"),
         col("event_type"))
@@ -102,21 +133,20 @@ object SourceQueries {
       |  CAST(sum(CAST(round(l_quantity * 10000) AS BIGINT)) AS BIGINT) AS qty_units
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
-    // Fixed table names. DROP covers re-runs within one session;
+    // App-scoped table names: DROP covers re-runs within one session;
     // deleting the on-disk location covers a FRESH session whose
     // in-memory catalog has forgotten the table but whose warehouse
     // directory survives — saveAsTable refuses to create over a
-    // leftover path (LOCATION_ALREADY_EXISTS) otherwise.
+    // leftover path (LOCATION_ALREADY_EXISTS) otherwise — and stale
+    // past-session table dirs are swept.
     val wh = new java.io.File(
       new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    val (liT, orT) = ("g_li_bucketed", "g_or_bucketed")
-    Seq(liT, orT).foreach { n =>
-      s.sql(s"DROP TABLE IF EXISTS $n")
-      rm(new java.io.File(wh, n))
+    val (liT, orT) = (s"g_li_bucketed_${appTag(s)}", s"g_or_bucketed_${appTag(s)}")
+    Seq(("g_li_bucketed_", liT), ("g_or_bucketed_", orT)).foreach {
+      case (prefix, n) =>
+        s.sql(s"DROP TABLE IF EXISTS $n")
+        rm(new java.io.File(wh, n))
+        cleanStaleSiblings(wh, prefix, n)
     }
     t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
