@@ -45,7 +45,11 @@ object Bench {
         |  FROM (SELECT explode(transform(sequence(1, 60000),
         |          i -> concat('w', cast(i AS string)))) AS x))
         |""".stripMargin).collect()
+    // optional comma-separated name filter for targeted sweeps
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val qmap = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // Per-plan warm-up: the historically variance-heavy queries get one
     // untimed run at sf0.001 so their Janino/C2 compilation happens off
     // the clock.

@@ -53,6 +53,59 @@ object BlockRangeSink {
     }
   }
 
+  /** Per-partition file statistics — metadata-only (directory listing,
+    * no data scan): the observability a long-lived table needs to
+    * decide when compaction pays.
+    */
+  final case class RangeStats(blockRange: Long, nFiles: Int, bytes: Long)
+
+  def stats(path: String): Seq[RangeStats] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("blockRange="))
+      .map { d =>
+        val files = Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        RangeStats(d.getName.stripPrefix("blockRange=").toLong,
+          files.length, files.map(_.length()).sum)
+      }.sortBy(_.blockRange)
+
+  /** Small-file compaction: every incremental batch appends files to
+    * its tail partitions, and a year of per-block commits leaves
+    * thousands of KB-sized files per partition — death by open() at
+    * 100 TB. Rewrite each partition whose file count exceeds what its
+    * byte size justifies down to ceil(bytes/targetBytes) files, via
+    * the same idempotent dynamic-partition overwrite as [[write]] (a
+    * crashed compaction re-runs safely). The data is snapshotted
+    * through a localCheckpoint first — Spark refuses to overwrite a
+    * path it is concurrently reading, and the checkpoint decouples the
+    * write from the source files. Returns the compacted ranges.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Seq[Long] = {
+    val todo = stats(path).filter { s =>
+      s.nFiles > math.max(1, math.ceil(s.bytes.toDouble / targetBytes).toInt)
+    }
+    todo.foreach { st =>
+      val n = math.max(1, math.ceil(st.bytes.toDouble / targetBytes).toInt)
+      val snap = read(spark, path)
+        .where(col("blockRange").cast("long") === st.blockRange)
+        .coalesce(n)
+        .localCheckpoint()
+      try
+        snap.write
+          .partitionBy("blockRange")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode(SaveMode.Overwrite)
+          .parquet(path)
+      finally snap.queryExecution.analyzed.collect {
+        // free the snapshot blocks immediately (Dataset.unpersist is a
+        // no-op for localCheckpoints; drop the RDD under the plan leaf)
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(blocking = false))
+    }
+    todo.map(_.blockRange)
+  }
+
   /** M4 — reorg truncation at the storage layer: keep facts ≤ fork. */
   def truncateTo(spark: SparkSession, path: String, fork: Long,
       blockCol: String = "block"): DataFrame =

@@ -25,7 +25,9 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written (ScaleGen) directory form
+            p = os.path.join(p, "*.parquet")
+        if os.path.exists(os.path.dirname(p) if "*" in p else p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
