@@ -12,12 +12,16 @@ import org.apache.spark.sql.functions._
   *  - events: event_id shifted per copy; user_id KEPT — per-key
   *    histories grow ×N, stressing exactly the sequential folds and
   *    windows whose scale story is per-key.
-  *  - documents: doc_id shifted; every token gets a per-copy marker
-  *    token appended after it, so intra-copy near-dup structure is
-  *    preserved while cross-copy shingles are disjoint — corpus and
-  *    candidate pairs both scale ×N (identical copies would make each
-  *    dup pair an N-clique: O(N²) candidates by construction, a
-  *    workload change, not a scale-up).
+  *  - documents: doc_id shifted; every TOKEN is suffixed with a
+  *    per-copy marker (w → w_zcN), so the token count and the whole
+  *    shingle structure map 1:1 onto the original (intra-copy near-dup
+  *    pairs are exactly the original pairs) while cross-copy shingles
+  *    are disjoint — corpus and candidate pairs both scale ×N.
+  *    (Inserting marker TOKENS instead would halve every shingle's
+  *    information to word pairs/singletons and explode similarity;
+  *    identical copies would make each dup pair an N-clique: O(N²)
+  *    candidates by construction. Both are workload changes, not
+  *    scale-ups.)
   *  - lineitem/orders: orderkey shifted per copy — the UTXO linkage
   *    (okey-1) and the order⋈lineitem joins stay internally consistent
   *    within each copy.
@@ -63,8 +67,7 @@ object ScaleGen {
     write(copies(docs) { (df, i) =>
       df.select((Seq(
         (col("doc_id") + lit(i * Shift)).as("doc_id"),
-        concat(regexp_replace(col("text"), " ", s" zc$i "), lit(s" zc$i"))
-          .as("text")) ++
+        regexp_replace(col("text"), "(\\S+)", s"$$1zc$i").as("text")) ++
         df.columns.filterNot(Set("doc_id", "text")).map(col)): _*)
     }, "documents")
 
