@@ -56,7 +56,15 @@ object StreamingQueries {
     val name = "sbq_" + java.util.UUID.randomUUID().toString.take(8)
       .replace("-", "")
     val source = MemoryStream[LedgerEntry]
-    val query = StreamingBalances.run(source.toDS(), name)
+    // The state store instantiates one store per shuffle partition per
+    // micro-batch; at replay-fixture scale 8 partitions cut that fixed
+    // overhead ~4× with identical output. The stream pins the value at
+    // start, so restoring the session conf right after is safe.
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try StreamingBalances.run(source.toDS(), name)
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     try {
       (0L to 3L).foreach { b =>
         val batch = rows.iterator.filter(r => batchOf(r._2, mn, mx) == b)
@@ -119,7 +127,12 @@ object StreamingQueries {
     val name = "ssq_" + java.util.UUID.randomUUID().toString.take(8)
       .replace("-", "")
     val source = MemoryStream[StreamingSessions.Click]
-    val query = StreamingSessions.run(source.toDS(), name)
+    // 8 state-store partitions at replay scale — see balancesEquiv.
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try StreamingSessions.run(source.toDS(), name)
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     try {
       (0L to 3L).foreach { b =>
         val batch = rows.iterator.filter(r => batchOf(r._3, mn, mx) == b)
