@@ -15,6 +15,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     ScalarQueries.all ++ AggQueries.all ++ JoinQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ CurationQueries.all ++
+      HygieneQueries.all ++
       SimilarityQueries.all ++
       MultimodalQueries.all ++ SourceQueries.all ++ LedgerQueries.all ++
       MetaDexQueries.all ++ RegistryQueries.all ++ PipelineQueries.all ++

@@ -20,11 +20,11 @@ object CurationQueries {
   // its Spark and DuckDB spellings — ONE definition feeding both
   // decontaminate and repetition (and both oracles), so the
   // cross-engine hash can never desynchronize on the shingle shape.
-  private val shingle3Spark =
+  private[graft] val shingle3Spark =
     """array_distinct(transform(sequence(1, size(arr) - 2),
       |  i -> concat_ws(' ', element_at(arr, i), element_at(arr, i + 1),
       |                 element_at(arr, i + 2))))""".stripMargin
-  private val shingle3Sql =
+  private[graft] val shingle3Sql =
     """list_distinct(list_transform(range(1, len(arr) - 1),
       |    i -> arr[CAST(i AS INT)] || ' ' ||
       |      arr[CAST(i + 1 AS INT)] || ' ' ||
