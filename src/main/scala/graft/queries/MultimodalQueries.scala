@@ -118,7 +118,57 @@ object MultimodalQueries {
       .orderBy("doc_id", "idx")
   }
 
-  val all: Seq[Q] = Seq(binaryMeta, decodeBatch, frameSample)
+  /** Resize — the remaining step of the brief's decode / feature-extract /
+    * resize / frame-sample quartet: decode the PNG, nearest-neighbor
+    * downsample to a fixed 8×8 thumbnail inside the same batched
+    * partition seam, and emit the thumbnail's checksum + digest. The
+    * resize is a REAL resample of REAL decoded rasters; because both
+    * the source pixels and the NN source-index map (sx = ⌊tx·w/8⌋,
+    * sy = ⌊ty·h/8⌋) are closed-form, the oracle re-derives every
+    * thumbnail pixel relationally — a codec or stride bug anywhere in
+    * decode→resize fails the hash.
+    */
+  val resize = Q(
+    "mm_resize",
+    """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+      |    8 + (doc_id * 7) % 9 AS h FROM documents),
+      |g AS (SELECT doc_id, w, h, unnest(range(0, 64)) AS ti FROM d),
+      |px AS (SELECT doc_id, w, h, ti,
+      |    (doc_id * 31 + ((ti // 8) * h // 8) * w + ((ti % 8) * w // 8)) % 256
+      |      AS gray
+      |  FROM g)
+      |SELECT doc_id, CAST(max(w) AS INT) AS width,
+      |  CAST(max(h) AS INT) AS height,
+      |  CAST(sum(gray) AS BIGINT) AS thumb_sum,
+      |  md5(string_agg(CAST(gray AS VARCHAR), '_' ORDER BY ti)) AS thumb_md5
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id, Multimodal.syntheticPng(id)))
+      .toDF("doc_id", "img")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("thumb_sum", LongType, nullable = false),
+      StructField("thumb_md5", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    blobs.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h, thumb) =
+          Multimodal.resizeNN(r.getAs[Array[Byte]](1), 8, 8)
+        val sum = thumb.map(_.toLong).sum
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(thumb.mkString("_").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        Row(id, w, h, sum, md)
+      }
+    }(enc).orderBy("doc_id").toDF()
+  }
+
+  val all: Seq[Q] = Seq(binaryMeta, decodeBatch, frameSample, resize)
 }
 
 /** The decode seam for multimodal blobs — a REAL pure-JVM image codec
@@ -168,5 +218,30 @@ object Multimodal {
       y += 1
     }
     (w, h, sum)
+  }
+
+  /** Decode + nearest-neighbor resize to tw×th: target pixel (tx, ty)
+    * samples source (⌊tx·w/tw⌋, ⌊ty·h/th⌋) — the explicit integer map,
+    * not Graphics2D interpolation, so the resample is bit-deterministic
+    * on every JVM. Returns (src width, src height, row-major gray
+    * values of the thumbnail).
+    */
+  def resizeNN(blob: Array[Byte], tw: Int, th: Int): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(blob))
+    val raster = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Int](tw * th)
+    var ty = 0
+    while (ty < th) {
+      var tx = 0
+      while (tx < tw) {
+        out(ty * tw + tx) = raster.getSample(tx * w / tw, ty * h / th, 0)
+        tx += 1
+      }
+      ty += 1
+    }
+    (w, h, out)
   }
 }

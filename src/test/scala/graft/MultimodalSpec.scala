@@ -30,4 +30,30 @@ class MultimodalSpec extends AnyFunSuite {
     // band-0 (red) samples are 0..14 for the 0x010101-scaled pixels
     assert(sum == (0 until 15).sum)
   }
+
+  test("resizeNN matches the closed-form NN index map for 100 ids") {
+    (0L until 100L).foreach { id =>
+      val (w, h, thumb) = Multimodal.resizeNN(Multimodal.syntheticPng(id), 8, 8)
+      assert(thumb.length == 64)
+      (0 until 64).foreach { ti =>
+        val (tx, ty) = (ti % 8, ti / 8)
+        val exp = (id * 31 + (ty * h / 8) * w + (tx * w / 8)) % 256
+        assert(thumb(ti) == exp.toInt, s"id=$id ti=$ti")
+      }
+    }
+  }
+
+  test("resizeNN upsamples a foreign image (2x2 -> 4x4 block replication)") {
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val vals = Array(10, 20, 30, 40)
+    (0 until 4).foreach(i => img.getRaster.setSample(i % 2, i / 2, 0, vals(i)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (_, _, thumb) = Multimodal.resizeNN(bos.toByteArray, 4, 4)
+    val expected = Array(
+      10, 10, 20, 20, 10, 10, 20, 20,
+      30, 30, 40, 40, 30, 30, 40, 40)
+    assert(thumb.sameElements(expected), thumb.mkString(","))
+  }
 }
