@@ -178,6 +178,12 @@ object MultimodalQueries {
   */
 object Multimodal {
 
+  // Once per executor JVM (object init): ImageIO's default read path
+  // spools every stream through a temp FILE cache — a per-blob disk
+  // round trip that costs 4x on decode and is exactly wrong on
+  // executors. In-memory cache only.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic grayscale test image for doc `id`: dimensions
     * w = 8 + id mod 9, h = 8 + 7·id mod 9; pixel i (row-major) has
     * gray value (id·31 + i) mod 256 — a closed form the oracle can
