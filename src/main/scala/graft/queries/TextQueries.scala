@@ -276,7 +276,76 @@ object TextQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** BPE pair counting — the inner loop of tokenizer training: count
+    * adjacent symbol (character) pairs across the corpus, weighted by
+    * word frequency, and emit the top merge candidates. The corpus
+    * shuffles ONCE (token→count, map-side combinable into a
+    * vocabulary-sized table); the pair explode then runs over the
+    * VOCABULARY, not the corpus, so each BPE merge iteration at 100 TB
+    * costs one vocabulary-sized aggregation, and the top-k is
+    * TakeOrdered, never a global sort.
+    */
+  val bpePairs = Q(
+    "bpe_pair_counts",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |vocab AS (SELECT w, count(*) AS wc FROM tok
+      |  WHERE length(w) >= 2 GROUP BY w),
+      |pairs AS (SELECT wc,
+      |    unnest(list_transform(range(1, length(w)),
+      |      i -> substr(w, CAST(i AS INT), 2))) AS pair
+      |  FROM vocab)
+      |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+      |FROM pairs GROUP BY pair
+      |ORDER BY n DESC, pair LIMIT 50""".stripMargin) { (s, dir) =>
+    val vocab = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    vocab
+      .select(col("wc"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+      .groupBy("pair").agg(sum("wc").cast(LongType).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(50)
+  }
+
+  /** Fixed-window token chunking with overlap (window 32, stride 24) —
+    * the sliding chunker of pretraining/RAG pipelines, complementing
+    * content-defined [[cdcChunks]]: deterministic boundaries at fixed
+    * offsets, each chunk hashed for downstream dedup. Pure projection +
+    * one explode per doc — map-side at any corpus size. Spark's
+    * INCLUSIVE sequence(0, n−1, 24) and DuckDB's EXCLUSIVE
+    * range(0, n, 24) generate the same start set for n ≥ 1, and both
+    * engines clamp the final short chunk the same way.
+    */
+  val fixedChunks = Q(
+    "text_fixed_chunks",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr,
+      |    len(string_split(text, ' ')) AS n FROM documents),
+      |st AS (SELECT doc_id, arr, unnest(range(0, n, 24)) AS start
+      |  FROM d WHERE n > 0),
+      |ch AS (SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+      |    list_slice(arr, CAST(start + 1 AS INT), CAST(start + 32 AS INT)) AS chunk
+      |  FROM st)
+      |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_tok,
+      |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+      |FROM ch ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .withColumn("n", size(col("arr")))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("arr"),
+        explode(expr("sequence(0, n - 1, 24)")).as("start"))
+      .select(col("doc_id"),
+        expr("start div 24").cast(LongType).as("chunk_id"),
+        expr("slice(arr, start + 1, 32)").as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast(LongType).as("n_tok"),
+        md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, vocabulary, tfidf, unigramLm,
-      cdcChunks)
+      cdcChunks, bpePairs, fixedChunks)
 }

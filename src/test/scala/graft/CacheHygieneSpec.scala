@@ -16,7 +16,8 @@ class CacheHygieneSpec extends SparkTestBase {
 
   private val heavy = Seq("dedup_minhash_lsh", "dedup_clusters",
     "dedup_retention", "curation_pipeline", "metadex_settlement",
-    "dex_lifecycle_fold", "ml_kmeans_assign", "ledger_simple_send")
+    "dex_lifecycle_fold", "ml_kmeans_assign", "ledger_simple_send",
+    "dedup_bloom_contain")
 
   test("cache-heavy queries leave zero persistent RDDs after release") {
     assume(new java.io.File(dir).isDirectory)
