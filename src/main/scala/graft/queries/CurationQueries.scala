@@ -239,6 +239,46 @@ object CurationQueries {
         .orderBy("lang", "source", "rank")
   }
 
+  /** Corpus mixing to a per-source token budget — the mixture-weighting
+    * pass that turns raw source sizes into sampling rates: each source's
+    * keep-rate is min(1, budget/source_tokens) in integer permille, and
+    * docs are kept by the deterministic hash coin at that rate. Shape at
+    * 100 TB: ONE aggregation reduces the corpus to a #sources-sized
+    * stats table, the rates broadcast back, and the keep decision is a
+    * map-side filter — the corpus is never shuffled.
+    */
+  val mixBudget = Q(
+    "mix_token_budget",
+    """WITH tok AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents),
+      |st AS (SELECT source, CAST(sum(nt) AS BIGINT) AS stok
+      |  FROM tok GROUP BY source),
+      |r AS (SELECT source, least(1000, (1000 * 500) // stok) AS rate
+      |  FROM st),
+      |k AS (SELECT t.source, t.nt, r.rate FROM tok t JOIN r USING (source)
+      |  WHERE (('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000 < r.rate)
+      |SELECT source, CAST(max(rate) AS BIGINT) AS rate_permille,
+      |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens
+      |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("nt"))
+    val rates = tok.groupBy("source")
+      .agg(sum("nt").cast(LongType).as("stok"))
+      .select(col("source"),
+        least(lit(1000L), expr("(1000 * 500) div stok")).as("rate"))
+    tok.join(broadcast(rates), Seq("source"))
+      .where(expr("cast(conv(substring(md5(concat('mix:', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 1000")
+        < col("rate"))
+      .groupBy("source")
+      .agg(max("rate").cast(LongType).as("rate_permille"),
+        count(lit(1)).as("n_docs"),
+        sum("nt").cast(LongType).as("sum_tokens"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] =
-    Seq(stratified, pipeline, decontaminate, repetition, sampleExactN)
+    Seq(stratified, pipeline, decontaminate, repetition, sampleExactN,
+      mixBudget)
 }

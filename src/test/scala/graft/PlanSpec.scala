@@ -174,4 +174,22 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"range join fell back to nested-loop:\n$p")
   }
+
+  test("BPE pairs: top-k is TakeOrdered over a vocabulary-sized agg, never a global sort") {
+    val p = plan(graft.queries.TextQueries.bpePairs)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort crept in:\n$p")
+  }
+
+  test("fixed chunking: map-side only — no shuffle, join, or agg before the output ordering") {
+    val p = plan(graft.queries.TextQueries.fixedChunks)
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), s"unexpected op:\n$p")
+  }
+
+  test("token-budget mixing: source rates broadcast back — the corpus is never shuffled for the join") {
+    val p = plan(graft.queries.CurationQueries.mixBudget)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
