@@ -91,6 +91,44 @@ class HygieneSpec extends SparkTestBase {
       "per-vector scale should saturate the max component at 127")
   }
 
+  test("int8 quantization: reconstruction error is bounded by one quantization step") {
+    // |x_e6 - q8·scale/127| <= scale/127 for every component — the
+    // contract that makes the 4x-compressed vectors usable for ANN.
+    val bad = HygieneQueries.quantizeInt8.run(spark, dir)
+      .select(col("vec_id"), col("max_abs_e6"))
+      .join(graft.Tables.t(spark, dir, "embeddings"), Seq("vec_id"))
+      .withColumn("qe",
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"))
+      .withColumn("maxerr", expr(
+        """array_max(transform(qe, x ->
+          |  abs(cast(x as double) -
+          |      cast(sign(x) * floor((127.0d * abs(x)) / cast(max_abs_e6 as double)) as bigint)
+          |        * cast(max_abs_e6 as double) / 127.0d)))""".stripMargin))
+      .where(col("maxerr") > col("max_abs_e6").cast("double") / 127.0 + 1e-6)
+      .count()
+    assert(bad == 0, s"$bad vectors exceed the one-step error bound")
+  }
+
+  test("packing, mixing, bloom: results are invariant under input repartitioning") {
+    // The scale contract: a different cluster layout must not change a
+    // single output row. Compare each operator's rows across runs with
+    // the session's default parallelism left alone vs forced through
+    // one partition (orderBy output collected as sets).
+    def rows(q: Q, parts: Int): Set[String] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try q.run(spark, dir).collect().map(_.mkString("|")).toSet
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        Q.releaseScoped()
+      }
+    }
+    Seq(HygieneQueries.packSequences, CurationQueries.mixBudget,
+      HygieneQueries.bloomContain).foreach { q =>
+      assert(rows(q, 1) == rows(q, 13), s"${q.name} varies with partitioning")
+    }
+  }
+
   test("plans: pii/split/quantize are map-side; packing shuffles once on source") {
     Seq(HygieneQueries.piiScrub, HygieneQueries.splitAssign,
       HygieneQueries.quantizeInt8).foreach { q =>
