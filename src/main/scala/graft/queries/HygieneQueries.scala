@@ -264,6 +264,98 @@ object HygieneQueries {
       .orderBy("vec_id")
   }
 
+  /** Flagship hygiene pipeline — scrub → decontaminate → dedup → pack,
+    * composed end to end in ONE declarative plan (Catalyst sees every
+    * stage, so pruning/pushdown work across stage boundaries):
+    *
+    *  1. PII redaction of the ingest text (map-side regexes);
+    *  2. benchmark decontamination ON THE ORIGINAL CONTENT: drop docs
+    *     sharing a word-3-gram with the doc_id%97 benchmark slice
+    *     (broadcast anti-join — the bloom variant of [[bloomContain]]
+    *     drops in here when the benchmark outgrows the broadcast
+    *     threshold). Shingling the redacted text instead would let the
+    *     normalized `<MARKER>` tokens manufacture cross-doc matches —
+    *     every doc with a phone number shares `call <phone>` shingles —
+    *     a real pipeline pitfall this stage ordering avoids;
+    *  3. exact dedup of the redacted text (min-doc keeper per hash);
+    *  4. token-budget packing of the survivors (512-token next-fit
+    *     bins per source, as in [[packSequences]]).
+    *
+    * Output = the packed-bin manifest a tokenizer run would consume.
+    */
+  val pipeline = Q(
+    "hygiene_pipeline",
+    s"""WITH raw AS (SELECT doc_id, source, $piiTextSql AS pii FROM documents),
+      |red AS (SELECT doc_id, source,
+      |    regexp_replace(regexp_replace(regexp_replace(pii,
+      |      '$emailRe', '<EMAIL>', 'g'),
+      |      '$phoneRe', '<PHONE>', 'g'),
+      |      '$ipRe', '<IP>', 'g') AS text
+      |  FROM raw),
+      |arrs AS (SELECT doc_id, string_split(lower(text), ' ') AS arr
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, unnest(${CurationQueries.shingle3Sql}) AS shingle
+      |  FROM arrs),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+      |contam AS (SELECT DISTINCT doc_id FROM sh
+      |  WHERE doc_id % 97 <> 0 AND shingle IN (SELECT shingle FROM bench)),
+      |clean AS (SELECT * FROM red WHERE doc_id % 97 <> 0
+      |  AND doc_id NOT IN (SELECT doc_id FROM contam)),
+      |keep AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
+      |surv AS (SELECT c.doc_id, c.source,
+      |    CAST(len(string_split(c.text, ' ')) AS BIGINT) AS nt
+      |  FROM clean c WHERE c.doc_id IN (SELECT doc_id FROM keep)),
+      |cum AS (SELECT doc_id, source, nt,
+      |    SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      |  FROM surv)
+      |SELECT source, CAST((c - nt) // 512 AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(nt) AS BIGINT) AS sum_tokens,
+      |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+      |  CAST(max(doc_id) AS BIGINT) AS last_doc
+      |FROM cum GROUP BY source, bin
+      |ORDER BY source, bin""".stripMargin) { (s, dir) =>
+    val red = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), piiText.as("pii"))
+      .withColumn("text",
+        regexp_replace(regexp_replace(regexp_replace(col("pii"),
+          lit(emailRe), lit("<EMAIL>")),
+          lit(phoneRe), lit("<PHONE>")),
+          lit(ipRe), lit("<IP>")))
+      .drop("pii")
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+      .withColumn("arr", split(col("text"), " "))
+      .where(size(col("arr")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(CurationQueries.shingle3Spark)).as("shingle"))
+    val bench = sh.where(col("doc_id") % 97 === 0)
+      .select("shingle").distinct()
+    val contam = sh.where(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+    val clean = red.where(col("doc_id") % 97 =!= 0)
+      .join(contam, Seq("doc_id"), "left_anti")
+    val keep = clean.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val surv = clean.join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("nt"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    surv
+      .withColumn("c", sum("nt").over(w))
+      .withColumn("bin", expr("(c - nt) div 512").cast(LongType))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nt").cast(LongType).as("sum_tokens"),
+        min("doc_id").cast(LongType).as("first_doc"),
+        max("doc_id").cast(LongType).as("last_doc"))
+      .orderBy("source", "bin")
+  }
+
   val all: Seq[Q] =
-    Seq(piiScrub, bloomContain, packSequences, splitAssign, quantizeInt8)
+    Seq(piiScrub, bloomContain, packSequences, splitAssign, quantizeInt8,
+      pipeline)
 }
