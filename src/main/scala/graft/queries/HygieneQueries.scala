@@ -154,9 +154,11 @@ object HygieneQueries {
     * assign documents, in stable doc_id order within each source shard,
     * to consecutive bins of ~512 tokens — the pre-tokenization packing
     * pass that turns a corpus into fixed-budget training sequences.
-    * The window partitions by source, so parallelism = #shards and no
-    * global single-partition window exists; per-bin stats are one
-    * map-side-combinable aggregation.
+    * Runs as [[graft.operators.SequencePacker]]'s segmented prefix sum
+    * (range-partition + per-partition offsets, the W1 pattern), so a
+    * giant source spans many partitions instead of funneling through
+    * one window task; the DuckDB oracle keeps the per-source window
+    * spelling — the gate IS the equivalence proof, as for W1.
     */
   val packSequences = Q(
     "pack_sequences",
@@ -174,15 +176,10 @@ object HygieneQueries {
       |  CAST(max(doc_id) AS BIGINT) AS last_doc
       |FROM cum GROUP BY source, bin
       |ORDER BY source, bin""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
+    val tok = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("nt"))
-      .withColumn("c", sum("nt").over(w))
-      // (c - nt) is the bin-start offset, always >= 0, so truncating
-      // div == floor div — the Spark-div-vs-DuckDB-// trap can't bite.
-      .withColumn("bin", expr("(c - nt) div 512").cast(LongType))
+    graft.operators.SequencePacker.assignBins(tok, 512L)
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("n_docs"),
         sum("nt").cast(LongType).as("sum_tokens"),

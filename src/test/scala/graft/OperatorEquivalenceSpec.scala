@@ -48,6 +48,28 @@ class OperatorEquivalenceSpec extends SparkTestBase {
     assert(fast == naive)
   }
 
+  test("SequencePacker equals the per-source window cumsum, one source 100x the rest") {
+    val rows = Seq.tabulate(8000) { i =>
+      // ~80% of docs pile into one giant source — the case where the
+      // window form degrades to a single task and the packer must not
+      val src = if (i % 5 != 0) "giant" else s"small${i % 17}"
+      (src, i.toLong, (1L + rnd.nextInt(90)))
+    }.toDF("source", "doc_id", "nt")
+    val packed = graft.operators.SequencePacker.assignBins(rows, 256L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    graft.queries.Q.releaseScoped()
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = rows
+      .withColumn("c", sum("nt").over(w))
+      .withColumn("bin", expr("(c - nt) div 256").cast("long"))
+      .select("source", "doc_id", "nt", "bin")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(packed == naive)
+  }
+
   test("the minhash affine family is a permutation of Z_p (injective on samples)") {
     val p = 2147483647L
     val as = Seq(1103515245L, 1299709L, 15485863L, 32452843L,
