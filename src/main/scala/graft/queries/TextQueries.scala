@@ -345,7 +345,41 @@ object TextQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Inverted-index build — the serving-side artifact of a corpus:
+    * per-token document frequency, total term frequency, and a posting
+    * checksum. The checksum is an ORDER-INSENSITIVE sum of per-posting
+    * 60-bit hashes (mod 2⁶⁰), deliberately NOT an ordered
+    * concatenation: a hot token's posting list (stopwords ≈ the whole
+    * corpus) never materializes in one task — both aggregations are
+    * map-side combinable and commutative, so the index builds with two
+    * vocabulary-keyed shuffles at any corpus size. The 60-bit hashes
+    * accumulate in decimal(38,0) (HUGEINT on the oracle side) — a
+    * BIGINT accumulator would overflow at ~8·10⁹ postings per token —
+    * and reduce mod 2⁶⁰ only at the end.
+    */
+  val invertedIndex = Q(
+    "text_inverted_index",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |tf AS (SELECT w, doc_id, count(*) AS tf FROM tok GROUP BY w, doc_id)
+      |SELECT w, count(*) AS n_docs, CAST(sum(tf) AS BIGINT) AS total_tf,
+      |  CAST(sum(('0x' || substr(md5('p:' || CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)), 1, 15))::BIGINT) % 1152921504606846976 AS BIGINT)
+      |    AS posting_sum
+      |FROM tf GROUP BY w ORDER BY w""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tf").cast(LongType).as("total_tf"),
+        sum(expr("cast(conv(substring(md5(concat('p:', cast(doc_id as string), ':', cast(tf as string))), 1, 15), 16, 10) as bigint)")
+          .cast(DecimalType(38, 0))).as("hsum"))
+      .select(col("w"), col("n_docs"), col("total_tf"),
+        expr("cast(hsum % 1152921504606846976 as bigint)").as("posting_sum"))
+      .orderBy("w")
+  }
+
   val all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, vocabulary, tfidf, unigramLm,
-      cdcChunks, bpePairs, fixedChunks)
+      cdcChunks, bpePairs, fixedChunks, invertedIndex)
 }
