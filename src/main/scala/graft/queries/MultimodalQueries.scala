@@ -168,7 +168,47 @@ object MultimodalQueries {
     }(enc).orderBy("doc_id").toDF()
   }
 
-  val all: Seq[Q] = Seq(binaryMeta, decodeBatch, frameSample, resize)
+  /** Audio-blob stats — the third modality's cheap first pass: the blob
+    * is read as 16-bit big-endian PCM frames (two bytes per sample,
+    * centered at 0x8000) and reduced to waveform statistics — sample
+    * count, peak amplitude, total absolute energy — without ever
+    * materializing the sample array outside the row. Pure projection
+    * over one scan; a real audio codec (MP3/FLAC) slots into the same
+    * seam as [[Multimodal.decodePng]] does for images.
+    */
+  val audioStats = Q(
+    "mm_audio_stats",
+    """WITH a AS (SELECT doc_id, text,
+      |    CAST(floor(length(text) / 2) AS BIGINT) AS ns FROM documents),
+      |s AS (SELECT doc_id, ns,
+      |    list_transform(range(0, ns),
+      |      i -> ascii(substr(text, CAST(2 * i + 1 AS INT), 1)) * 256
+      |           + ascii(substr(text, CAST(2 * i + 2 AS INT), 1)) - 32768)
+      |      AS pcm
+      |  FROM a WHERE ns >= 1)
+      |SELECT doc_id, ns AS n_samples,
+      |  CAST(list_aggregate(list_transform(pcm, x -> abs(x)), 'max') AS BIGINT)
+      |    AS peak,
+      |  CAST(list_sum(list_transform(pcm, x -> abs(x))) AS BIGINT) AS sum_abs
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        floor(length(col("text")) / 2).cast(LongType).as("ns"))
+      .where(col("ns") >= 1)
+      .withColumn("pcm",
+        expr("""transform(sequence(0L, ns - 1),
+          i -> ascii(substring(text, cast(2 * i + 1 as int), 1)) * 256
+               + ascii(substring(text, cast(2 * i + 2 as int), 1)) - 32768)"""))
+      .select(col("doc_id"), col("ns").as("n_samples"),
+        expr("cast(array_max(transform(pcm, x -> abs(x))) as bigint)")
+          .as("peak"),
+        expr("cast(aggregate(transform(pcm, x -> abs(x)), 0L, (a, x) -> a + x) as bigint)")
+          .as("sum_abs"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(binaryMeta, decodeBatch, frameSample, resize,
+    audioStats)
 }
 
 /** The decode seam for multimodal blobs — a REAL pure-JVM image codec
