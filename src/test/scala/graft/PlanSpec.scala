@@ -192,4 +192,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("hygiene pipeline: bench/contam/keeper sets all broadcast; no global window") {
+    val p = plan(graft.queries.HygieneQueries.pipeline)
+    assert(p.split("BroadcastHashJoin").length - 1 >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in the pipeline:\n$p")
+  }
 }
