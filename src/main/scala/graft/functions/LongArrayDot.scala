@@ -68,11 +68,16 @@ case class LongArrayDot(left: Expression, right: Expression)
   * idempotently before using `graft_ldot(...)` in expressions.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ldot",
       (exprs: Seq[Expression]) => LongArrayDot(exprs.head, exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hash60",
+      (exprs: Seq[Expression]) => Hash60(exprs.head),
+      "built-in")
+  }
 }
 
 /** SparkSessionExtensions entry point — for sessions the library owns:
@@ -80,10 +85,16 @@ object GraftFunctions {
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ldot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[LongArrayDot].getCanonicalName, "graft_ldot"),
       (exprs: Seq[Expression]) => LongArrayDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hash60"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Hash60].getCanonicalName, "graft_hash60"),
+      (exprs: Seq[Expression]) => Hash60(exprs.head)))
+  }
 }

@@ -20,11 +20,15 @@ import graft.Tables.t
   */
 object DedupQueries {
 
-  /** 60-bit deterministic hash from md5 — identical in Spark
-    * (conv(hex,16,10)) and DuckDB (('0x'||hex)::BIGINT).
+  /** 60-bit deterministic hash from md5 — identical in Spark and DuckDB
+    * (('0x'||hex)::BIGINT). The Spark side is the native codegen'd
+    * [[graft.functions.Hash60]] (digest→long, no hex string/substring/
+    * base-16 parse — this hash runs once per shingle/token, the
+    * dominant scalar cost of minhash and simhash); bit-equality with
+    * the composable conv(substring(md5)) spelling is pinned in
+    * `Hash60Spec`, so the oracle keeps the portable form.
     */
-  private def h60(e: String): String =
-    s"cast(conv(substring(md5($e), 1, 15), 16, 10) as bigint)"
+  private def h60(e: String): String = s"graft_hash60($e)"
   private def dh60(e: String): String =
     s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
 
@@ -231,6 +235,7 @@ object DedupQueries {
       |JOIN cnt ca ON ca.doc_id = s.id_a
       |JOIN cnt cb ON cb.doc_id = s.id_b
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
     val sh = shingled(corpus(s, dir))
     val hashed = sh.select(col("doc_id"),
       (expr(h60("shingle")) % 2147483647L).as("h31"))
@@ -310,6 +315,7 @@ object DedupQueries {
         |  ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       val tok = corpus(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .withColumn("th", expr(h60("token")))
