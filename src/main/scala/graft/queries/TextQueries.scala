@@ -254,6 +254,7 @@ object TextQueries {
       |FROM chunked GROUP BY doc_id, chunk_id
       |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val tok = t(s, dir, "documents")
       .select(col("doc_id"), posexplode(split(col("text"), " "))
@@ -263,7 +264,8 @@ object TextQueries {
       .withColumn("prev", lag("token", 1).over(w))
       .withColumn("boundary",
         when(col("prev").isNotNull &&
-          expr("cast(conv(substring(md5(concat(prev, ' ', token)), 1, 15), 16, 10) as bigint) % 8 = 0"),
+          // native digest→long hash (Hash60Spec pins ≡ conv(substring(md5)))
+          expr("graft_hash60(concat(prev, ' ', token)) % 8 = 0"),
           1).otherwise(0))
       .withColumn("chunk_id",
         sum("boundary").over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -366,13 +368,15 @@ object TextQueries {
       |  CAST(sum(('0x' || substr(md5('p:' || CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)), 1, 15))::BIGINT) % 1152921504606846976 AS BIGINT)
       |    AS posting_sum
       |FROM tf GROUP BY w ORDER BY w""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
     t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
       .groupBy("w")
       .agg(count(lit(1)).as("n_docs"),
         sum("tf").cast(LongType).as("total_tf"),
-        sum(expr("cast(conv(substring(md5(concat('p:', cast(doc_id as string), ':', cast(tf as string))), 1, 15), 16, 10) as bigint)")
+        // native digest→long hash (Hash60Spec pins ≡ conv(substring(md5)))
+        sum(expr("graft_hash60(concat('p:', cast(doc_id as string), ':', cast(tf as string)))")
           .cast(DecimalType(38, 0))).as("hsum"))
       .select(col("w"), col("n_docs"), col("total_tf"),
         expr("cast(hsum % 1152921504606846976 as bigint)").as("posting_sum"))
