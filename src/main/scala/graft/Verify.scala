@@ -12,8 +12,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the production registration path for graft's native functions
+      // (queries also call GraftFunctions.register for foreign sessions)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hash60")))
+      System.err.println("[verify] WARN: GraftExtensions did not inject")
     new java.io.File(outDir).mkdirs()
     // optional comma-separated name filter for targeted sweeps
     val only = sys.env.get("SPARK_GRAFT_ONLY")
