@@ -139,9 +139,14 @@ object HygieneQueries {
     sh.count()
     val bench = sh.where(col("doc_id") % 97 === 0)
       .select("shingle").distinct()
+      .transform(Q.persistScoped)
     // Sketch read (like KMeans' k centroids): driver collects ~bits,
-    // never data rows. Sized generously for the sf sweep range.
-    val bloom = bench.stat.bloomFilter("shingle", 1L << 16, 0.03)
+    // never data rows. Sized from the actual benchmark cardinality (one
+    // vocabulary-scale count) so the fpp — and with it the volume of
+    // work the exact-confirm join sees — stays ~3% at ANY sweep factor
+    // instead of degrading past a fixed guess.
+    val bloom = bench.stat.bloomFilter("shingle",
+      math.max(bench.count(), 1L), 0.03)
     val mightContain = udf((sh: String) => sh != null && bloom.mightContain(sh))
     sh.where(col("doc_id") % 97 =!= 0)
       .where(mightContain(col("shingle")))
