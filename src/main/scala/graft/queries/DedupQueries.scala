@@ -371,6 +371,90 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup — the daily-ingest shape: dedupe TODAY'S BATCH
+    * against the existing corpus without touching corpus×corpus pairs.
+    * The planted copies (doc_id ≥ 100000) play the new batch; originals
+    * are the standing corpus. Same banded-minhash machinery as
+    * [[minhashLsh]], but the candidate join is new-bands × old-bands
+    * only — at production scale the new side is days smaller than the
+    * corpus, so the join probes the corpus band table (bucketed/kept
+    * partitioned across runs) instead of re-pairing the world, and cost
+    * scales with the BATCH, not the corpus. Output: each new doc's
+    * matched corpus doc at Jaccard ≥ 500‰.
+    */
+  val incremental = Q(
+    "dedup_incremental",
+    s"""WITH $corpusSql,
+      |$shingledSql,
+      |h AS (SELECT doc_id, ${dh60("shingle")} % 2147483647 AS h31 FROM sh),
+      |mh AS (SELECT doc_id,
+      |${(0 until 8).map(k =>
+        s"  min((${MinHashPerm.a(k)} * h31 + ${MinHashPerm.b(k)}) % 2147483647) AS mh$k")
+        .mkString(",\n")}
+      |FROM h GROUP BY doc_id),
+      |bands AS (
+      |${(0 until 4).map(b =>
+        s"  SELECT doc_id, $b AS band, md5(CAST(mh${2 * b} AS VARCHAR) || ',' || CAST(mh${2 * b + 1} AS VARCHAR)) AS sig FROM mh")
+        .mkString("\n  UNION ALL\n")}),
+      |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      |  FROM bands n JOIN bands o
+      |    ON n.band = o.band AND n.sig = o.sig
+      |   AND n.doc_id >= 100000 AND o.doc_id < 100000),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |shared AS (
+      |  SELECT c.new_id, c.old_id, count(*) AS shared
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.new_id
+      |  JOIN sh sb ON sb.doc_id = c.old_id AND sb.shingle = sa.shingle
+      |  GROUP BY 1, 2)
+      |SELECT s.new_id, s.old_id,
+      |  CAST((1000 * s.shared) // (ca.n + cb.n - s.shared) AS BIGINT) AS jac_millis
+      |FROM shared s
+      |JOIN cnt ca ON ca.doc_id = s.new_id
+      |JOIN cnt cb ON cb.doc_id = s.old_id
+      |WHERE (1000 * s.shared) // (ca.n + cb.n - s.shared) >= 500
+      |ORDER BY new_id, old_id""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val sh = shingled(corpus(s, dir))
+    val hashed = sh.select(col("doc_id"),
+      (expr(h60("shingle")) % 2147483647L).as("h31"))
+    def perm(k: Int) =
+      (lit(MinHashPerm.a(k)) * col("h31") + lit(MinHashPerm.b(k))) % 2147483647L
+    val mh = hashed.groupBy("doc_id")
+      .agg(min(perm(0)).as("mh0"),
+        (1 until 8).map(k => min(perm(k)).as(s"mh$k")): _*)
+      .transform(Q.persistScoped)
+    mh.count() // eager: band table feeds both join sides (see minhashLsh)
+    val bands = (0 until 4).map { b =>
+      mh.select(col("doc_id"), lit(b).as("band"),
+        md5(concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+          .as("sig"))
+    }.reduce(_ unionAll _)
+    val cand = bands.toDF("new_id", "band", "sig")
+      .where(col("new_id") >= 100000L)
+      .join(bands.toDF("old_id", "band_b", "sig_b")
+          .where(col("old_id") < 100000L),
+        col("band") === col("band_b") && col("sig") === col("sig_b"))
+      .select("new_id", "old_id").distinct()
+      .transform(Q.persistScoped)
+    cand.count() // eager: shared by the verify join's three consumers
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = cand
+      .join(sh.toDF("sa_doc", "shingle"), col("new_id") === col("sa_doc"))
+      .join(sh.toDF("sb_doc", "shingle_b"),
+        col("old_id") === col("sb_doc") && col("shingle") === col("shingle_b"))
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("shared"))
+    shared
+      .join(cnt.toDF("na_doc", "na"), col("new_id") === col("na_doc"))
+      .join(cnt.toDF("nb_doc", "nb"), col("old_id") === col("nb_doc"))
+      .select(col("new_id"), col("old_id"),
+        expr("(1000 * shared) div (na + nb - shared)").cast(LongType)
+          .as("jac_millis"))
+      .where(col("jac_millis") >= 500)
+      .orderBy("new_id", "old_id")
+  }
+
   val all: Seq[Q] =
-    Seq(exact, jaccard, clusters, minhashLsh, simhash, retention)
+    Seq(exact, jaccard, clusters, minhashLsh, simhash, retention,
+      incremental)
 }
