@@ -107,7 +107,11 @@ object ScalarQueries {
     */
   val p5 = Q(
     "p5_hex_decode",
-    "SELECT doc_id, doc_id AS decoded FROM documents ORDER BY doc_id") {
+    // The hex round trip decodes the LOW 32 BITS (payload chars 9-16),
+    // so the oracle must say doc_id % 2^32, not doc_id — the bare-id
+    // form silently held only while every id fit in 32 bits, and the
+    // 10x key-shifted sweep (ids ≥ 10^12) exposed it.
+    "SELECT doc_id, doc_id % 4294967296 AS decoded FROM documents ORDER BY doc_id") {
     (s, dir) =>
       val payload = lpad(lower(hex(col("doc_id"))), 16, "0")
       val decoded = conv(substring(payload, 9, 8), 16, 10).cast(LongType)

@@ -15,6 +15,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def norm(df):
     df = df[sorted(df.columns)]
+    # tz-aware vs naive is a parquet-metadata artifact (ScaleGen writes
+    # TIMESTAMP_MICROS/UTC, the driver's tables are TIMESTAMP(NANOS) →
+    # naive in both engines); compare instants, not dtype flavors
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64") and getattr(
+                df[c].dt, "tz", None) is not None:
+            df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
