@@ -56,8 +56,8 @@ object Bench {
     // the clock.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      Seq("dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
-        "j6_json_theta_join", "dex_lifecycle_fold",
+      Seq("dedup_minhash_lsh", "dedup_incremental", "dedup_clusters",
+        "dedup_simhash", "j6_json_theta_join", "dex_lifecycle_fold",
         "j9_wallet_domain_serve").foreach { n =>
         qmap.get(n).foreach { fn =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }

@@ -26,9 +26,11 @@ def norm(df):
     return df
 
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+def connect(sf_dir):
+    # Fresh connection per query: one long-lived DuckDB connection
+    # accumulates buffers across 100+ comparisons and at 100x-sweep
+    # scale eventually fails tiny allocations ("bad allocation") even
+    # with free RAM; re-registering the table views is microseconds.
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -36,6 +38,12 @@ def main():
             p = os.path.join(p, "*.parquet")
         if os.path.exists(os.path.dirname(p) if "*" in p else p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     ok = fail = 0
@@ -47,21 +55,26 @@ def main():
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d) or (only and name not in only):
             continue
+        con = connect(sf_dir)
         try:
             spark_df = con.sql(f"SELECT * FROM '{d}/*.parquet'").df()
         except Exception as e:
             print(f"FAIL {name}: cannot read spark result: {e}")
             fail += 1
+            con.close()
             continue
         if name not in oracles:
             print(f"SKIP {name}: no oracle ({len(spark_df)} rows)")
+            con.close()
             continue
         try:
             duck_df = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             fail += 1
+            con.close()
             continue
+        con.close()
         a, b = norm(spark_df), norm(duck_df)
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
