@@ -153,78 +153,120 @@ object PropertyRegistry {
   def derive(txs: Dataset[(RawTx, Long)]): Dataset[SmartProperty] = {
     val spark = txs.sparkSession
     import spark.implicits._
-    txs
+    val keyed = txs
       .filter { case (tx, _) =>
         tx.valid && LifecycleTypes.contains(tx.type_int)
       }
       // a -51 purchase's propertyid is the FUNDING property; the tokens
       // are minted in purchasedpropertyid (sql.py:2180-2232)
-      .groupByKey { case (tx, _) =>
-        if (tx.type_int == -51) tx.purchasedpropertyid else tx.propertyid
+      .map { case (tx, s) =>
+        (if (tx.type_int == -51) tx.purchasedpropertyid else tx.propertyid,
+          tx, s)
       }
-      .mapGroups { (pid, it) =>
-        val events = it.toSeq.sortBy(_._2)
-        val create = events.find(e => Set(50, 51, 54).contains(e._1.type_int))
-        val (ctx, cserial) = create.getOrElse(events.head)
-        var issuer = ctx.sendingaddress
-        var delegate = ""
-        var active = ctx.type_int == 51
-        var participants = 0L
-        var purchased = 0L
-        var issuerTokens = 0L
-        var granted = 0L
-        events.foreach { case (tx, _) =>
-          tx.type_int match {
-            case -51 =>
-              participants += 1
-              purchased += Amounts.toBase(tx.purchasedtokens,
-                tx.purchaseddivisible)
-              issuerTokens += Amounts.toBase(tx.issuertokens,
-                tx.purchaseddivisible)
-            case 53 =>
-              // credited exactly once at close (sql.py:1485-1501)
-              if (active)
-                issuerTokens += Amounts.toBase(tx.addedissuertokens,
-                  tx.divisible)
-              active = false
-            case 55 => granted += Amounts.toBase(tx.amount, tx.divisible)
-            case 56 => granted -= Amounts.toBase(tx.amount, tx.divisible)
-            case 70 =>
-              issuer = tx.referenceaddress.getOrElse(tx.sendingaddress)
-            case 73 =>
-              delegate = tx.referenceaddress.getOrElse("")
-            case 74 => delegate = ""
-            case _ => ()
-          }
-        }
-        // assembled PropertyData payload (sql.py:1565-1575 + jsonb column)
-        def esc(s: String) = s.flatMap {
-          case '"' => "\\\""
-          case '\\' => "\\\\"
-          case c if c < ' ' => f"\\u${c.toInt}%04x"
-          case c => c.toString
-        }
-        val json = s"""{"name":"${esc(ctx.propertyname)}","category":"${esc(
-            ctx.propertycategory)}","subcategory":"${esc(
-            ctx.propertysubcategory)}","url":"${esc(
-            ctx.propertyurl)}","data":"${esc(
-            ctx.propertydata)}","divisible":${ctx.divisible}}"""
-        SmartProperty(pid, issuer, ctx.ecosystem, ctx.propertyname,
-          ctx.divisible, managed = ctx.type_int == 54, cserial,
-          events.map(_._2).max,
-          propertyType = if (ctx.divisible) 2 else 1,
-          category = ctx.propertycategory,
-          subcategory = ctx.propertysubcategory,
-          url = ctx.propertyurl,
-          data = ctx.propertydata,
-          propertyDataJson = json,
-          crowdsale = ctx.type_int == 51,
-          crowdsaleActive = active,
-          participantCount = participants,
-          tokensPurchased = purchased,
-          issuerTokens = issuerTokens,
-          granted = granted,
-          delegate = delegate)
+    // Secondary sort instead of groupByKey+toSeq (the DexLifecycle
+    // pattern): one shuffle on propertyid, serial order established by
+    // the partition sort, each property's lifecycle folded as a STREAM.
+    // A hot crowdsale's -51 purchase history (sql.py:2180-2232) is
+    // unbounded, so it must never become one task's input buffer.
+    keyed
+      .repartition($"_1")
+      .sortWithinPartitions($"_1", $"_3")
+      .mapPartitions { it =>
+        new GroupRuns(it.map(r => (r._1, (r._2, r._3))))
+          .map { case (pid, run) => foldKey(pid, run) }
       }
+  }
+
+  /** Seq convenience overload (specs build small fixtures); the
+    * iterator form requires serial-ordered input, so sort here.
+    */
+  def foldKey(pid: Long, events: Seq[(RawTx, Long)]): SmartProperty =
+    foldKey(pid, events.sortBy(_._2).iterator)
+
+  /** Single-pass fold of one property's serial-ordered lifecycle with
+    * O(1) state. Equivalent to "find the first 50/51/54 create (else
+    * the first event), init from it, then replay every event in serial
+    * order" — the replay form needs no lookahead buffering because the
+    * only create-dependent handler is the 53 close-credit
+    * (sql.py:1485-1501): `active` starts as (create.type == 51) and is
+    * only ever cleared by a 53, so the FIRST 53's credit applies iff
+    * the create is a crowdsale, and every later 53 is a no-op. All
+    * other accumulators (participants, purchased, granted, last
+    * issuer/delegate override) are create-independent, so the whole
+    * fold streams.
+    */
+  def foldKey(pid: Long, events: Iterator[(RawTx, Long)]): SmartProperty = {
+    var first: (RawTx, Long) = null
+    var create: (RawTx, Long) = null // first 50/51/54 event
+    var lastSerial = Long.MinValue
+    var issuerOverride: Option[String] = None // last 70 wins
+    var delegate = ""
+    var closed = false // any 53 seen
+    var first53Credit = 0L // applies iff the create is a 51 crowdsale
+    var participants = 0L
+    var purchased = 0L
+    var issuerTokens = 0L
+    var granted = 0L
+    events.foreach { case (tx, s) =>
+      if (first == null) first = (tx, s)
+      lastSerial = s
+      tx.type_int match {
+        case 50 | 51 | 54 =>
+          if (create == null) create = (tx, s)
+        case -51 =>
+          participants += 1
+          purchased += Amounts.toBase(tx.purchasedtokens,
+            tx.purchaseddivisible)
+          issuerTokens += Amounts.toBase(tx.issuertokens,
+            tx.purchaseddivisible)
+        case 53 =>
+          // credited exactly once at close (sql.py:1485-1501)
+          if (!closed)
+            first53Credit = Amounts.toBase(tx.addedissuertokens,
+              tx.divisible)
+          closed = true
+        case 55 => granted += Amounts.toBase(tx.amount, tx.divisible)
+        case 56 => granted -= Amounts.toBase(tx.amount, tx.divisible)
+        case 70 =>
+          issuerOverride =
+            Some(tx.referenceaddress.getOrElse(tx.sendingaddress))
+        case 73 =>
+          delegate = tx.referenceaddress.getOrElse("")
+        case 74 => delegate = ""
+        case _ => ()
+      }
+    }
+    val (ctx, cserial) = if (create != null) create else first
+    val crowdsale = ctx.type_int == 51
+    if (crowdsale && closed) issuerTokens += first53Credit
+    // assembled PropertyData payload (sql.py:1565-1575 + jsonb column)
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val json = s"""{"name":"${esc(ctx.propertyname)}","category":"${esc(
+        ctx.propertycategory)}","subcategory":"${esc(
+        ctx.propertysubcategory)}","url":"${esc(
+        ctx.propertyurl)}","data":"${esc(
+        ctx.propertydata)}","divisible":${ctx.divisible}}"""
+    SmartProperty(pid, issuerOverride.getOrElse(ctx.sendingaddress),
+      ctx.ecosystem, ctx.propertyname,
+      ctx.divisible, managed = ctx.type_int == 54, cserial,
+      lastSerial,
+      propertyType = if (ctx.divisible) 2 else 1,
+      category = ctx.propertycategory,
+      subcategory = ctx.propertysubcategory,
+      url = ctx.propertyurl,
+      data = ctx.propertydata,
+      propertyDataJson = json,
+      crowdsale = crowdsale,
+      crowdsaleActive = crowdsale && !closed,
+      participantCount = participants,
+      tokensPurchased = purchased,
+      issuerTokens = issuerTokens,
+      granted = granted,
+      delegate = delegate)
   }
 }

@@ -48,6 +48,44 @@ class FoldSkewSpec extends SparkTestBase {
     assert(r.accepts.forall(_.dexState == "expired"))
   }
 
+  test("one crowdsale with 100k purchases folds with bounded state") {
+    import graft.operators.PropertyRegistry
+    val n = 100000L
+    val create = (RawTx(txid = "c", protocol = "Omni",
+      sendingaddress = "ISSUER", referenceaddress = None, type_int = 51,
+      version = 0, valid = true, block = 1, blocktime = 0,
+      positioninblock = 0, propertyid = 77, divisible = true, amount = BigDecimal(0),
+      propertyname = "HotSale", ecosystem = "Production"), 1L)
+    // 100k -51 purchases on the same purchased pid — the reference's
+    // unbounded per-property history (sql.py:2180-2232); the stream
+    // fold must hold O(1) state, never the group
+    val purchases = spark.range(2, n + 2).as[Long].map { i =>
+      (RawTx(txid = f"$i%016x", protocol = "Omni",
+        sendingaddress = s"P$i", referenceaddress = Some("ISSUER"),
+        type_int = -51, version = 0, valid = true, block = i,
+        blocktime = 0, positioninblock = 0, propertyid = 1,
+        divisible = true, amount = BigDecimal(0), purchasedpropertyid = 77,
+        purchasedtokens = BigDecimal(2), purchaseddivisible = true,
+        issuertokens = BigDecimal(1)), i)
+    }
+    val close = (RawTx(txid = "x", protocol = "Omni",
+      sendingaddress = "ISSUER", referenceaddress = None, type_int = 53,
+      version = 0, valid = true, block = n + 5, blocktime = 0,
+      positioninblock = 0, propertyid = 77, divisible = true,
+      amount = BigDecimal(0), addedissuertokens = BigDecimal(10)), n + 5)
+    val out = PropertyRegistry.derive(
+      spark.createDataset(Seq(create, close)).union(purchases)).collect()
+    assert(out.length == 1)
+    val p = out.head
+    assert(p.crowdsale && !p.crowdsaleActive)
+    assert(p.participantCount == n)
+    assert(p.tokensPurchased == 2L * 100000000L * n)
+    // per-purchase issuer tokens + the close credit, exactly once
+    assert(p.issuerTokens == 1L * 100000000L * n + 10L * 100000000L)
+    assert(p.lastTxDbSerialNum == n + 5)
+    assert(p.issuer == "ISSUER")
+  }
+
   test("one address with 200k entries and a freeze window folds exactly") {
     val n = 200000L
     val ledger = spark.range(1, n + 1).as[Long].map { i =>
