@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 import graft.Tables.t
 
@@ -112,9 +111,11 @@ object HygieneQueries {
     *
     * Why it exists: at 10⁹ benchmark shingles the raw distinct-string
     * set is tens of GB — too big to broadcast — while the Bloom filter
-    * at 1% fpp is ~1.2 GB of bits that ships to every executor once.
+    * at the 3% fpp used below is ~0.9 GB of bits that ships to every
+    * executor ONCE, as an explicit SparkContext broadcast (a closure
+    * capture would re-serialize the filter into every task binary).
     * The corpus (the 100-TB side) is touched map-side only; the exact
-    * confirm join sees just true hits + ~1% false positives, so the
+    * confirm join sees just true hits + ~3% false positives, so the
     * result is EXACT (the filter only prunes), which is why a DuckDB
     * oracle can gate it. The membership probe is a UDF by necessity:
     * Spark's BloomFilterMightContain expression is internal-only.
@@ -145,9 +146,10 @@ object HygieneQueries {
     // vocabulary-scale count) so the fpp — and with it the volume of
     // work the exact-confirm join sees — stays ~3% at ANY sweep factor
     // instead of degrading past a fixed guess.
-    val bloom = bench.stat.bloomFilter("shingle",
-      math.max(bench.count(), 1L), 0.03)
-    val mightContain = udf((sh: String) => sh != null && bloom.mightContain(sh))
+    val bloom = s.sparkContext.broadcast(bench.stat.bloomFilter("shingle",
+      math.max(bench.count(), 1L), 0.03))
+    val mightContain =
+      udf((sh: String) => sh != null && bloom.value.mightContain(sh))
     sh.where(col("doc_id") % 97 =!= 0)
       .where(mightContain(col("shingle")))
       .join(broadcast(bench), Seq("shingle"), "left_semi")
@@ -344,11 +346,9 @@ object HygieneQueries {
     val surv = clean.join(keep, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast(LongType).as("nt"))
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    surv
-      .withColumn("c", sum("nt").over(w))
-      .withColumn("bin", expr("(c - nt) div 512").cast(LongType))
+    // packing stage = SequencePacker's segmented prefix sum, exactly as
+    // in [[packSequences]] — never the one-task-per-source window form
+    graft.operators.SequencePacker.assignBins(surv, 512L)
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("n_docs"),
         sum("nt").cast(LongType).as("sum_tokens"),
