@@ -168,43 +168,50 @@ object MultimodalQueries {
     }(enc).orderBy("doc_id").toDF()
   }
 
-  /** Audio-blob stats — the third modality's cheap first pass: the blob
-    * is read as 16-bit big-endian PCM frames (two bytes per sample,
-    * centered at 0x8000) and reduced to waveform statistics — sample
-    * count, peak amplitude, total absolute energy — without ever
-    * materializing the sample array outside the row. Pure projection
-    * over one scan; a real audio codec (MP3/FLAC) slots into the same
-    * seam as [[Multimodal.decodePng]] does for images.
+  /** Audio-blob stats via a REAL codec — the third modality gets the
+    * same treatment as the PNG path: one WAV blob per doc (RIFF/PCM,
+    * synthesized since the corpus ships no media), decoded inside the
+    * batched partition seam by [[Multimodal.decodeWav]] — an actual
+    * `javax.sound.sampled` parse that reads the sample rate and the
+    * 16-bit frames from the container, not from the generator's
+    * parameters. The synthetic waveform has closed-form samples
+    * (sample(i) = (doc_id·31 + i·7) mod 65536 − 32768 over a
+    * doc_id-derived count and rate), so the oracle re-derives the
+    * DECODED stats relationally and the encode→decode round trip gets
+    * a full hash gate: a codec that mis-parses the header, endianness
+    * or sample width fails the gate.
     */
   val audioStats = Q(
     "mm_audio_stats",
-    """WITH a AS (SELECT doc_id, text,
-      |    CAST(floor(length(text) / 2) AS BIGINT) AS ns FROM documents),
-      |s AS (SELECT doc_id, ns,
-      |    list_transform(range(0, ns),
-      |      i -> ascii(substr(text, CAST(2 * i + 1 AS INT), 1)) * 256
-      |           + ascii(substr(text, CAST(2 * i + 2 AS INT), 1)) - 32768)
-      |      AS pcm
-      |  FROM a WHERE ns >= 1)
-      |SELECT doc_id, ns AS n_samples,
-      |  CAST(list_aggregate(list_transform(pcm, x -> abs(x)), 'max') AS BIGINT)
-      |    AS peak,
-      |  CAST(list_sum(list_transform(pcm, x -> abs(x))) AS BIGINT) AS sum_abs
-      |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    t(s, dir, "documents")
-      .select(col("doc_id"), col("text"),
-        floor(length(col("text")) / 2).cast(LongType).as("ns"))
-      .where(col("ns") >= 1)
-      .withColumn("pcm",
-        expr("""transform(sequence(0L, ns - 1),
-          i -> ascii(substring(text, cast(2 * i + 1 as int), 1)) * 256
-               + ascii(substring(text, cast(2 * i + 2 as int), 1)) - 32768)"""))
-      .select(col("doc_id"), col("ns").as("n_samples"),
-        expr("cast(array_max(transform(pcm, x -> abs(x))) as bigint)")
-          .as("peak"),
-        expr("cast(aggregate(transform(pcm, x -> abs(x)), 0L, (a, x) -> a + x) as bigint)")
-          .as("sum_abs"))
-      .orderBy("doc_id")
+    """WITH d AS (SELECT doc_id, 16 + doc_id % 241 AS ns,
+      |    8000 + (doc_id % 5) * 4000 AS sr FROM documents),
+      |p AS (SELECT doc_id, ns, sr, unnest(range(0, ns)) AS i FROM d),
+      |s AS (SELECT doc_id, ns, sr,
+      |    (doc_id * 31 + i * 7) % 65536 - 32768 AS smp FROM p)
+      |SELECT doc_id, CAST(max(ns) AS BIGINT) AS n_samples,
+      |  CAST(max(sr) AS BIGINT) AS sample_rate,
+      |  CAST(max(abs(smp)) AS BIGINT) AS peak,
+      |  CAST(sum(abs(smp)) AS BIGINT) AS sum_abs
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id, Multimodal.syntheticWav(id)))
+      .toDF("doc_id", "wav")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false),
+      StructField("sum_abs", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    blobs.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val st = Multimodal.decodeWav(r.getAs[Array[Byte]](1))
+        Row(id, st.nSamples, st.sampleRate, st.peak, st.sumAbs)
+      }
+    }(enc).orderBy("doc_id").toDF()
   }
 
   val all: Seq[Q] = Seq(binaryMeta, decodeBatch, frameSample, resize,
@@ -264,6 +271,69 @@ object Multimodal {
       y += 1
     }
     (w, h, sum)
+  }
+
+  final case class WavStats(nSamples: Long, sampleRate: Long, peak: Long,
+      sumAbs: Long)
+
+  /** Deterministic 16-bit PCM mono test waveform for doc `id`:
+    * ns = 16 + id mod 241 samples at 8000 + 4000·(id mod 5) Hz, with
+    * sample(i) = (id·31 + i·7) mod 65536 − 32768 — a closed form the
+    * oracle can recompute without any codec. Encoded as a real WAV
+    * (RIFF container) via `javax.sound.sampled.AudioSystem`.
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val ns = (16 + id % 241).toInt
+    val sr = (8000 + (id % 5) * 4000).toFloat
+    val data = new Array[Byte](ns * 2)
+    var i = 0
+    while (i < ns) {
+      val v = (((id * 31 + i.toLong * 7) % 65536) - 32768).toInt
+      data(2 * i) = (v & 0xff).toByte // WAV PCM is little-endian
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1,
+      true /* signed */, false /* little-endian */)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, ns.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode a WAV blob: parse the RIFF header via AudioSystem (sample
+    * rate, channels, sample width, endianness all come from the
+    * CONTAINER), stream the frames, and reduce the 16-bit samples to
+    * (count, rate, peak amplitude, Σ|sample|). Handles either
+    * endianness and any channel count (channel-interleaved samples all
+    * count — mono fixtures are unaffected).
+    */
+  def decodeWav(blob: Array[Byte]): WavStats = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16,
+      s"expected 16-bit PCM, got ${fmt.getSampleSizeInBits}")
+    val bytes = ais.readAllBytes()
+    ais.close()
+    val big = fmt.isBigEndian
+    val n = bytes.length / 2
+    var peak = 0L
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      val b0 = bytes(2 * i)
+      val b1 = bytes(2 * i + 1)
+      val v = if (big) (b0.toInt << 8) | (b1 & 0xff)
+        else (b1.toInt << 8) | (b0 & 0xff)
+      val a = math.abs(v.toLong)
+      if (a > peak) peak = a
+      sum += a
+      i += 1
+    }
+    WavStats(n.toLong, fmt.getSampleRate.toLong, peak, sum)
   }
 
   /** Decode + nearest-neighbor resize to tw×th: target pixel (tx, ty)

@@ -43,6 +43,40 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV round trip matches the closed form for 200 ids") {
+    (0L until 200L).foreach { id =>
+      val st = Multimodal.decodeWav(Multimodal.syntheticWav(id))
+      val ns = 16 + id % 241
+      assert(st.nSamples == ns, s"n_samples id=$id")
+      assert(st.sampleRate == 8000 + (id % 5) * 4000, s"rate id=$id")
+      val samples = (0L until ns).map(i => (id * 31 + i * 7) % 65536 - 32768)
+      assert(st.peak == samples.map(math.abs).max, s"peak id=$id")
+      assert(st.sumAbs == samples.map(math.abs).sum, s"sum_abs id=$id")
+    }
+  }
+
+  test("decodeWav handles a foreign (big-endian, stereo) WAV-family blob") {
+    // AIFF-style big-endian stereo frames through the same AudioSystem
+    // seam: 2 channels x 3 frames, samples +/-1000, 2000, 3000
+    val samples = Array[Short](1000, -1000, 2000, -2000, 3000, -3000)
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      data(2 * i) = ((v >> 8) & 0xff).toByte
+      data(2 * i + 1) = (v & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(44100f, 16, 2, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, 3L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val st = Multimodal.decodeWav(bos.toByteArray)
+    assert(st.nSamples == 6) // channel-interleaved samples all count
+    assert(st.sampleRate == 44100L)
+    assert(st.peak == 3000L)
+    assert(st.sumAbs == 12000L)
+  }
+
   test("resizeNN upsamples a foreign image (2x2 -> 4x4 block replication)") {
     val img = new java.awt.image.BufferedImage(2, 2,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
