@@ -226,6 +226,91 @@ object PipelineQueries {
       .orderBy("address")
   }
 
+  /** End-to-end ingest flagship — the reference's main loop
+    * (omniEngine.py:109-232: RPC JSON → serials → decode → balances →
+    * serving tables) as ONE declarative derivation: raw tx JSON strings
+    * (S2) are schema-parsed with from_json, serial-stamped by the W1
+    * range-partition stamper, decoded to double-entry ledger rows by
+    * the REAL [[LedgerDecoder]], folded to balances, and joined into
+    * the J9 wallet serving view with fiat valuation — source →
+    * flatMap → window → join → project in a single plan Catalyst sees
+    * whole. The oracle composes the same chain relationally; the
+    * last_serial column pins the stamper (a wrong total order flips it
+    * even when the sums agree).
+    *
+    * The JSON strings are built from the orders table as the ingestion
+    * stand-in (in production this column arrives from the node's RPC;
+    * only that line changes) — the PARSE is the operator under test,
+    * exactly as Multimodal synthesizes its PNG/WAV blobs.
+    */
+  val e2eIngest = Q(
+    "e2e_ingest",
+    """WITH raw AS (SELECT o_orderkey AS ok,
+      |    'C' || CAST(o_custkey AS VARCHAR) AS sender,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS units
+      |  FROM orders),
+      |ser AS (SELECT ok, sender, units,
+      |    row_number() OVER (ORDER BY ok) AS serial FROM raw),
+      |flows AS (
+      |  SELECT sender AS address, -units AS delta, serial FROM ser
+      |  UNION ALL
+      |  SELECT 'M', units, serial FROM ser),
+      |bal AS (SELECT address, CAST(sum(delta) AS BIGINT) AS available,
+      |    CAST(max(serial) AS BIGINT) AS last_serial
+      |  FROM flows GROUP BY 1),
+      |wallets AS (SELECT 'C' || CAST(c_custkey AS VARCHAR) AS address,
+      |    'W' || CAST(c_nationkey AS VARCHAR) AS walletId FROM customer)
+      |SELECT w.walletId, b.address, CAST(31 AS BIGINT) AS propertyId,
+      |  b.available, CAST(0 AS BIGINT) AS reserved, b.last_serial,
+      |  CAST(b.available * 2.5 AS DOUBLE) AS availableValue
+      |FROM bal b JOIN wallets w ON b.address = w.address
+      |ORDER BY w.walletId, b.address""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.OmniPipeline
+    import graft.serving.WalletViews
+    // ingestion stand-in: one raw JSON payload per tx
+    val raw = t(s, dir, "orders")
+      .select(to_json(struct(
+        $"o_orderkey".as("txnum"),
+        concat(lit("C"), $"o_custkey").as("sendingaddress"),
+        round($"o_totalprice" * 100).cast(LongType).as("amount"),
+        $"o_orderkey".as("block"))).as("payload"))
+    // S2: schema'd parse — one codegen'd JacksonParser pass
+    val parsed = raw
+      .select(from_json($"payload", StructType(Seq(
+        StructField("txnum", LongType),
+        StructField("sendingaddress", StringType),
+        StructField("amount", LongType),
+        StructField("block", LongType)))).as("tx"))
+      .select($"tx.txnum", $"tx.sendingaddress", $"tx.amount", $"tx.block")
+      .as[(Long, String, Long, Long)]
+    // W1: deterministic serials on the narrow parsed tuples
+    val stamped = OmniPipeline.stamp(parsed, col("block"))
+    // decode → balances via the real state machine
+    val ledger = stamped.flatMap { case ((txnum, sender, amount, block), ser) =>
+      LedgerDecoder.decode(RawTx(txid = f"$txnum%016x", protocol = "Omni",
+        sendingaddress = sender, referenceaddress = Some("M"),
+        type_int = 0, version = 0, valid = true, block = block,
+        blocktime = 0, positioninblock = 0, propertyid = 31,
+        divisible = false, amount = BigDecimal(amount)), ser)
+    }
+    val balances = Balances.derive(ledger).transform(Q.persistScoped)
+    // EAGER: the serving view and the serial pin both consume balances;
+    // unpersisted, the stamper + decode chain runs twice.
+    balances.count()
+    val wallets = t(s, dir, "customer")
+      .select(concat(lit("C"), $"c_custkey").as("address"),
+        concat(lit("W"), $"c_nationkey").as("walletId"))
+    val rates = s.createDataset(Seq(
+      RatesEtl.Rate("Omni", 31L, "Fiat", 1L, 2.5, 1000L, "fix")))
+    WalletViews.walletBalances(balances, wallets, rates)
+      .join(balances.select($"address",
+        $"lastTxDbSerialNum".as("last_serial")), Seq("address"))
+      .select($"walletId", $"address", $"propertyId", $"available",
+        $"reserved", $"last_serial", $"availableValue")
+      .orderBy("walletId", "address")
+  }
+
   val all: Seq[Q] = Seq(featureActivations, embed200, ratesParse,
-    ratesHistory, resetFromSnapshot)
+    ratesHistory, resetFromSnapshot, e2eIngest)
 }
