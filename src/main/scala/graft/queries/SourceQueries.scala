@@ -164,6 +164,59 @@ object SourceQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** S8 — the per-block atomic sink as a GATE: facts flow through
+    * [[graft.sinks.BlockRangeSink]] (idempotent dynamic-partition
+    * overwrite, the reference's per-block Postgres transaction
+    * omniEngine.py:210 re-expressed for object storage), a tail batch
+    * is deliberately RE-RUN (the crashed-batch recovery path — must add
+    * nothing), partitions are compacted, and the read-back content is
+    * checked against a relational oracle over the same facts. The
+    * n_files column pins the compaction invariant — exactly one file
+    * per partition at an unbounded byte target — so a sink that
+    * duplicates on re-run or a compaction that loses/doubles rows fails
+    * the hash.
+    */
+  val sinkRoundtrip = Q(
+    "s8_sink_roundtrip",
+    """SELECT CAST(event_id // 1000 AS BIGINT) AS block_range,
+      |  count(*) AS n_rows,
+      |  count(DISTINCT event_id) AS n_blocks,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(1 AS BIGINT) AS n_files
+      |FROM events GROUP BY 1 ORDER BY block_range""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.sinks.BlockRangeSink
+    val dirName = s"graft_s8_sink_${appTag(s)}"
+    cleanStaleSiblings(new java.io.File(sys.props("java.io.tmpdir")),
+      "graft_s8_sink_", dirName)
+    val path = new java.io.File(sys.props("java.io.tmpdir"), dirName).toString
+    val facts = t(s, dir, "events")
+      .select($"event_id".as("block"), $"user_id",
+        round($"value" * 100).cast(LongType).as("cents"))
+    BlockRangeSink.write(facts, path)
+    // crashed-batch recovery: re-run the batch owning the watermark's
+    // partition — dynamic overwrite rewrites it in place, adding nothing
+    val wm = BlockRangeSink.watermark(s, path)
+    BlockRangeSink.write(
+      facts.where(expr(s"block div ${BlockRangeSink.RangeSize}")
+        === wm / BlockRangeSink.RangeSize), path)
+    // unbounded byte target -> every multi-file partition compacts to 1
+    BlockRangeSink.compact(s, path, targetBytes = Long.MaxValue)
+    val files = BlockRangeSink.stats(path)
+      .map(st => (st.blockRange, st.nFiles.toLong))
+      .toDF("block_range", "n_files") // metadata-scale: one row/partition
+    BlockRangeSink.read(s, path)
+      .groupBy(col("blockRange").cast(LongType).as("block_range"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"block").as("n_blocks"),
+        sum($"cents").cast(LongType).as("sum_cents"))
+      .join(broadcast(files), Seq("block_range"))
+      .select($"block_range", $"n_rows", $"n_blocks", $"sum_cents",
+        $"n_files")
+      .orderBy("block_range")
+  }
+
   val all: Seq[Q] =
-    Seq(jsonSchema, csvRoundtrip, partitionedWrite, bucketedTable)
+    Seq(jsonSchema, csvRoundtrip, partitionedWrite, bucketedTable,
+      sinkRoundtrip)
 }
