@@ -383,7 +383,149 @@ object TextQueries {
       .orderBy("w")
   }
 
+  /** One greedy BPE merge: scan the symbol sequence left to right,
+    * replacing each non-overlapping (x, y) adjacency with the merged
+    * symbol — the textbook tokenizer-training merge step. The oracle
+    * expresses the same semantics relationally: within each run of
+    * consecutive matched positions, every other position (starting at
+    * the first) is merged, which is exactly what the greedy scan picks.
+    */
+  private[graft] def mergePair(sym: Seq[String], x: String,
+      y: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < sym.length) {
+      if (i + 1 < sym.length && sym(i) == x && sym(i + 1) == y) {
+        out += x + y; i += 2
+      } else { out += sym(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** BPE merge LOOP — the actual tokenizer-training inner loop, not
+    * just its first pair count ([[bpePairs]]): K=3 iterations of
+    * count-pairs → pick top merge (ties by pair string, both engines) →
+    * apply the merge to every vocabulary word, then the surviving
+    * top-20 candidates. State per iteration is VOCABULARY-sized (the
+    * corpus shuffles once into word counts and never again) and the
+    * chosen merge is a 1-row driver read per iteration — the trainer's
+    * merge table IS driver state, as in every BPE implementation. The
+    * oracle unrolls the three iterations with the run-parity window
+    * formulation of the greedy merge.
+    */
+  val bpeMergeLoop = Q(
+    "bpe_merge_loop",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |v AS (SELECT w, count(*) AS wc FROM tok WHERE length(w) >= 2 GROUP BY w),
+      |t0 AS (SELECT w, wc, pos, substr(w, CAST(pos AS INT), 1) AS sym
+      |  FROM (SELECT w, wc, unnest(range(1, length(w) + 1)) AS pos FROM v)),
+      |e1 AS (SELECT w, wc, pos, sym,
+      |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM t0),
+      |p1 AS (SELECT sym || ' ' || nxt AS pair, CAST(sum(wc) AS BIGINT) AS n
+      |  FROM e1 WHERE nxt IS NOT NULL GROUP BY 1),
+      |m1 AS (SELECT pair, n FROM p1 ORDER BY n DESC, pair LIMIT 1),
+      |g1 AS (SELECT e.w, e.wc, e.pos, e.sym,
+      |    coalesce(e.sym = split_part(m.pair, ' ', 1)
+      |         AND e.nxt = split_part(m.pair, ' ', 2), FALSE) AS matched,
+      |    replace(m.pair, ' ', '') AS merged
+      |  FROM e1 e, m1 m),
+      |r1 AS (SELECT *, pos - row_number()
+      |    OVER (PARTITION BY w, matched ORDER BY pos) AS grp FROM g1),
+      |s1 AS (SELECT *, matched AND (((pos - min(pos)
+      |    OVER (PARTITION BY w, matched, grp)) % 2) = 0) AS sel FROM r1),
+      |t1 AS (SELECT w, wc,
+      |    row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+      |    CASE WHEN sel THEN merged ELSE sym END AS sym
+      |  FROM (SELECT *, coalesce(lag(sel) OVER (PARTITION BY w ORDER BY pos),
+      |      FALSE) AS psel FROM s1)
+      |  WHERE NOT psel),
+      |e2 AS (SELECT w, wc, pos, sym,
+      |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM t1),
+      |p2 AS (SELECT sym || ' ' || nxt AS pair, CAST(sum(wc) AS BIGINT) AS n
+      |  FROM e2 WHERE nxt IS NOT NULL GROUP BY 1),
+      |m2 AS (SELECT pair, n FROM p2 ORDER BY n DESC, pair LIMIT 1),
+      |g2 AS (SELECT e.w, e.wc, e.pos, e.sym,
+      |    coalesce(e.sym = split_part(m.pair, ' ', 1)
+      |         AND e.nxt = split_part(m.pair, ' ', 2), FALSE) AS matched,
+      |    replace(m.pair, ' ', '') AS merged
+      |  FROM e2 e, m2 m),
+      |r2 AS (SELECT *, pos - row_number()
+      |    OVER (PARTITION BY w, matched ORDER BY pos) AS grp FROM g2),
+      |s2 AS (SELECT *, matched AND (((pos - min(pos)
+      |    OVER (PARTITION BY w, matched, grp)) % 2) = 0) AS sel FROM r2),
+      |t2 AS (SELECT w, wc,
+      |    row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+      |    CASE WHEN sel THEN merged ELSE sym END AS sym
+      |  FROM (SELECT *, coalesce(lag(sel) OVER (PARTITION BY w ORDER BY pos),
+      |      FALSE) AS psel FROM s2)
+      |  WHERE NOT psel),
+      |e3 AS (SELECT w, wc, pos, sym,
+      |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM t2),
+      |p3 AS (SELECT sym || ' ' || nxt AS pair, CAST(sum(wc) AS BIGINT) AS n
+      |  FROM e3 WHERE nxt IS NOT NULL GROUP BY 1),
+      |m3 AS (SELECT pair, n FROM p3 ORDER BY n DESC, pair LIMIT 1),
+      |g3 AS (SELECT e.w, e.wc, e.pos, e.sym,
+      |    coalesce(e.sym = split_part(m.pair, ' ', 1)
+      |         AND e.nxt = split_part(m.pair, ' ', 2), FALSE) AS matched,
+      |    replace(m.pair, ' ', '') AS merged
+      |  FROM e3 e, m3 m),
+      |r3 AS (SELECT *, pos - row_number()
+      |    OVER (PARTITION BY w, matched ORDER BY pos) AS grp FROM g3),
+      |s3 AS (SELECT *, matched AND (((pos - min(pos)
+      |    OVER (PARTITION BY w, matched, grp)) % 2) = 0) AS sel FROM r3),
+      |t3 AS (SELECT w, wc,
+      |    row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+      |    CASE WHEN sel THEN merged ELSE sym END AS sym
+      |  FROM (SELECT *, coalesce(lag(sel) OVER (PARTITION BY w ORDER BY pos),
+      |      FALSE) AS psel FROM s3)
+      |  WHERE NOT psel),
+      |e4 AS (SELECT w, wc, pos, sym,
+      |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM t3),
+      |p4 AS (SELECT sym || ' ' || nxt AS pair, CAST(sum(wc) AS BIGINT) AS n
+      |  FROM e4 WHERE nxt IS NOT NULL GROUP BY 1)
+      |SELECT CAST(1 AS BIGINT) AS iter, pair, n FROM m1
+      |UNION ALL SELECT CAST(2 AS BIGINT), pair, n FROM m2
+      |UNION ALL SELECT CAST(3 AS BIGINT), pair, n FROM m3
+      |UNION ALL SELECT CAST(4 AS BIGINT), pair, n FROM
+      |  (SELECT pair, n FROM p4 ORDER BY n DESC, pair LIMIT 20)
+      |ORDER BY iter, n DESC, pair""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    var cur = Q.persistScoped(
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .as[(String, Long)]
+        .map { case (w, wc) => (w, wc, w.split("").toSeq) })
+    cur.count() // EAGER: each iteration folds over the previous state
+    def pairCounts(v: org.apache.spark.sql.Dataset[(String, Long, Seq[String])]) =
+      v.flatMap { case (_, wc, sym) =>
+        sym.sliding(2).collect { case Seq(a, b) => (a + " " + b, wc) }
+      }.toDF("pair", "wc")
+        .groupBy("pair").agg(sum("wc").cast(LongType).as("n"))
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    for (k <- 1 to 3) {
+      // top merge candidate: vocabulary-scale reduction, 1-row driver
+      // read per iteration — the trainer's merge table IS driver state
+      val top = pairCounts(cur).orderBy(col("n").desc, col("pair")).head()
+      val (pair, n) = (top.getString(0), top.getLong(1))
+      merges += ((k.toLong, pair, n))
+      val Array(x, y) = pair.split(" ")
+      val next = Q.persistScoped(cur.map { case (w, wc, sym) =>
+        (w, wc, mergePair(sym, x, y))
+      })
+      next.count()
+      cur = next
+    }
+    val mergesDf = merges.result().toDF("iter", "pair", "n")
+    val finalTop = pairCounts(cur)
+      .orderBy(col("n").desc, col("pair")).limit(20)
+      .select(lit(4L).as("iter"), col("pair"), col("n"))
+    mergesDf.union(finalTop)
+      .orderBy(col("iter"), col("n").desc, col("pair"))
+  }
+
   val all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, vocabulary, tfidf, unigramLm,
-      cdcChunks, bpePairs, fixedChunks, invertedIndex)
+      cdcChunks, bpePairs, bpeMergeLoop, fixedChunks, invertedIndex)
 }
