@@ -18,6 +18,19 @@ object CacheScope {
     ds
   }
 
+  /** Persist at an explicit storage level. MEMORY_ONLY is the scratch-
+    * bounding choice for large intermediates: partitions cache while
+    * they fit and silently fall back to recompute under pressure —
+    * never spilling cache blocks to the disk the concurrent shuffles
+    * are already using.
+    */
+  def persist[T](ds: Dataset[T],
+      level: org.apache.spark.storage.StorageLevel): Dataset[T] = {
+    ds.persist(level)
+    register(ds)
+    ds
+  }
+
   /** Register an already-cached dataset for the next [[release]]. For
     * a localCheckpoint'ed dataset, `Dataset.unpersist` is a NO-OP (the
     * blocks are RDD-level, invisible to the SQL cache manager), so the

@@ -92,13 +92,31 @@ object DedupQueries {
     """array_distinct(transform(sequence(1, size(arr) - 2),
       |  i -> concat_ws(' ', element_at(arr, i), element_at(arr, i + 1),
       |                 element_at(arr, i + 2))))""".stripMargin
+  /** Shingle stream for the LSH pipelines, cached MEMORY_ONLY: the raw
+    * shingle strings are the dominant scratch footprint at 1000× bench
+    * scale, and a disk-backed copy STACKS with the band join's shuffle
+    * spill (the measured cause of the r4 1000×-probe disk exhaustion).
+    * MEMORY_ONLY keeps the explode-once win while it fits and silently
+    * degrades to recompute-per-consumer under pressure — a narrow
+    * map-side explode, linear in the scan — without ever writing cache
+    * blocks to the disk the shuffles need. Downstream, only the
+    * candidate-only slice (near-dup-set-sized) is disk-persistable.
+    */
+  private def shingledMemOnly(c: DataFrame): DataFrame =
+    Q.persistScopedAt(
+      c.withColumn("arr", split(col("text"), " "))
+        .where(size(col("arr")) >= 3)
+        .select(col("doc_id"),
+          explode(expr(shingleSparkExpr)).as("shingle")),
+      org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+
   private def shingled(c: DataFrame): DataFrame =
     c.withColumn("arr", split(col("text"), " "))
       .where(size(col("arr")) >= 3)
       .select(col("doc_id"),
         explode(expr(shingleSparkExpr)).as("shingle"))
-      // reused 4× downstream (hash, counts, both sides of the shared
-      // join) — persist so the explode runs once
+      // reused 4× downstream on a BOUNDED id range (harness guard) —
+      // persist so the explode runs once
       .transform(Q.persistScoped)
 
   private val shingledSql =
@@ -236,7 +254,9 @@ object DedupQueries {
       |JOIN cnt cb ON cb.doc_id = s.id_b
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
-    val sh = shingled(corpus(s, dir))
+    // MEMORY_ONLY: cached while it fits, recomputed under pressure,
+    // never competing for the shuffles' disk (see shingledMemOnly)
+    val sh = shingledMemOnly(corpus(s, dir))
     val hashed = sh.select(col("doc_id"),
       (expr(h60("shingle")) % 2147483647L).as("h31"))
     def perm(k: Int) =
@@ -415,7 +435,8 @@ object DedupQueries {
       |WHERE (1000 * s.shared) // (ca.n + cb.n - s.shared) >= 500
       |ORDER BY new_id, old_id""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
-    val sh = shingled(corpus(s, dir))
+    // MEMORY_ONLY — same scratch-bounding shape as minhashLsh
+    val sh = shingledMemOnly(corpus(s, dir))
     val hashed = sh.select(col("doc_id"),
       (expr(h60("shingle")) % 2147483647L).as("h31"))
     def perm(k: Int) =

@@ -25,6 +25,14 @@ object Q {
   def persistScoped[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] =
     graft.CacheScope.persist(ds)
 
+  /** Query-scoped persist at an explicit storage level (see
+    * [[graft.CacheScope.persist]]). Named distinctly so the no-arg
+    * form stays eta-expandable in `.transform(Q.persistScoped)`.
+    */
+  def persistScopedAt[T](ds: org.apache.spark.sql.Dataset[T],
+      level: org.apache.spark.storage.StorageLevel): org.apache.spark.sql.Dataset[T] =
+    graft.CacheScope.persist(ds, level)
+
   /** Unpersist every scoped intermediate registered since the last
     * release. Call after each query's action completes.
     */
