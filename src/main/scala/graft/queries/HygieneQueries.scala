@@ -320,6 +320,24 @@ object HygieneQueries {
       |  CAST(max(doc_id) AS BIGINT) AS last_doc
       |FROM cum GROUP BY source, bin
       |ORDER BY source, bin""".stripMargin) { (s, dir) =>
+    graft.operators.SequencePacker.assignBins(
+      pipelineSurvivors(s, dir), 512L)
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nt").cast(LongType).as("sum_tokens"),
+        min("doc_id").cast(LongType).as("first_doc"),
+        max("doc_id").cast(LongType).as("last_doc"))
+      .orderBy("source", "bin")
+  }
+
+  /** Stages 1–3 of [[pipeline]] (scrub → decontaminate → dedup), ending
+    * at the packing input — one declarative plan. Split out so PlanSpec
+    * can assert the broadcast shapes here: the packing stage's
+    * segmented prefix sum materializes through an RDD seam, which hides
+    * upstream operators from the FINAL plan.
+    */
+  private[graft] def pipelineSurvivors(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val red = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), piiText.as("pii"))
       .withColumn("text",
@@ -343,18 +361,9 @@ object HygieneQueries {
       .join(contam, Seq("doc_id"), "left_anti")
     val keep = clean.groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
-    val surv = clean.join(keep, Seq("doc_id"), "left_semi")
+    clean.join(keep, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast(LongType).as("nt"))
-    // packing stage = SequencePacker's segmented prefix sum, exactly as
-    // in [[packSequences]] — never the one-task-per-source window form
-    graft.operators.SequencePacker.assignBins(surv, 512L)
-      .groupBy("source", "bin")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("nt").cast(LongType).as("sum_tokens"),
-        min("doc_id").cast(LongType).as("first_doc"),
-        max("doc_id").cast(LongType).as("last_doc"))
-      .orderBy("source", "bin")
   }
 
   val all: Seq[Q] =
