@@ -92,23 +92,14 @@ object DedupQueries {
     """array_distinct(transform(sequence(1, size(arr) - 2),
       |  i -> concat_ws(' ', element_at(arr, i), element_at(arr, i + 1),
       |                 element_at(arr, i + 2))))""".stripMargin
-  /** Shingle stream for the LSH pipelines, cached MEMORY_ONLY: the raw
-    * shingle strings are the dominant scratch footprint at 1000× bench
-    * scale, and a disk-backed copy STACKS with the band join's shuffle
-    * spill (the measured cause of the r4 1000×-probe disk exhaustion).
-    * MEMORY_ONLY keeps the explode-once win while it fits and silently
-    * degrades to recompute-per-consumer under pressure — a narrow
-    * map-side explode, linear in the scan — without ever writing cache
-    * blocks to the disk the shuffles need. Downstream, only the
-    * candidate-only slice (near-dup-set-sized) is disk-persistable.
+  /** Raw shingle stream, un-cached — the LSH pipelines immediately
+    * hash it and never touch the strings again (see minhashLsh).
     */
-  private def shingledMemOnly(c: DataFrame): DataFrame =
-    Q.persistScopedAt(
-      c.withColumn("arr", split(col("text"), " "))
-        .where(size(col("arr")) >= 3)
-        .select(col("doc_id"),
-          explode(expr(shingleSparkExpr)).as("shingle")),
-      org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+  private def shingledFresh(c: DataFrame): DataFrame =
+    c.withColumn("arr", split(col("text"), " "))
+      .where(size(col("arr")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(shingleSparkExpr)).as("shingle"))
 
   private def shingled(c: DataFrame): DataFrame =
     c.withColumn("arr", split(col("text"), " "))
@@ -208,10 +199,15 @@ object DedupQueries {
 
   /** MinHash + LSH near-dup detection, the 100-TB-scale path:
     * shingle → 8 minhash permutations per doc → 4 bands of 2 →
-    * candidate pairs via equi-join on (band, signature) → exact Jaccard
-    * verify on candidates only. No quadratic stage anywhere: the join
-    * key is the band signature, and verification touches only banded
-    * candidates (semi-joined shingle set).
+    * candidate pairs via equi-join on (band, signature) → Jaccard
+    * verify on candidates only, in 60-BIT HASH SPACE: the raw shingle
+    * strings are hashed once at the source and never cached, shuffled
+    * or joined again (strings were the measured 1000×-probe scratch
+    * hog; the (doc_id, h) long pairs are ~4× smaller, and both engines
+    * compute the identical digest, so hash-space Jaccard is exactly
+    * defined cross-engine). No quadratic stage anywhere: the join key
+    * is the band signature, and verification touches only banded
+    * candidates (semi-joined hash set).
     *
     * Permutation family: ONE md5-derived 60-bit hash per shingle,
     * reduced mod p = 2³¹−1, then 8 affine bijections (see
@@ -225,12 +221,13 @@ object DedupQueries {
     "dedup_minhash_lsh",
     s"""WITH $corpusSql,
       |$shingledSql,
-      |h AS (SELECT doc_id, ${dh60("shingle")} % 2147483647 AS h31 FROM sh),
+      |hh AS (SELECT doc_id, ${dh60("shingle")} AS h FROM sh),
+      |hp AS (SELECT doc_id, h % 2147483647 AS h31 FROM hh),
       |mh AS (SELECT doc_id,
       |${(0 until 8).map(k =>
         s"  min((${MinHashPerm.a(k)} * h31 + ${MinHashPerm.b(k)}) % 2147483647) AS mh$k")
         .mkString(",\n")}
-      |FROM h GROUP BY doc_id),
+      |FROM hp GROUP BY doc_id),
       |bands AS (
       |${(0 until 4).map(b =>
         s"  SELECT doc_id, $b AS band, md5(CAST(mh${2 * b} AS VARCHAR) || ',' || CAST(mh${2 * b + 1} AS VARCHAR)) AS sig FROM mh")
@@ -238,14 +235,14 @@ object DedupQueries {
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM hh GROUP BY doc_id),
       |cids AS (SELECT id_a AS cid FROM cand UNION SELECT id_b FROM cand),
-      |shc AS (SELECT * FROM sh WHERE doc_id IN (SELECT cid FROM cids)),
+      |shc AS (SELECT doc_id, h FROM hh WHERE doc_id IN (SELECT cid FROM cids)),
       |shared AS (
       |  SELECT c.id_a, c.id_b, count(*) AS shared
       |  FROM cand c
       |  JOIN shc sa ON sa.doc_id = c.id_a
-      |  JOIN shc sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      |  JOIN shc sb ON sb.doc_id = c.id_b AND sb.h = sa.h
       |  GROUP BY 1, 2)
       |SELECT s.id_a, s.id_b, s.shared, ca.n AS na, cb.n AS nb,
       |  CAST((1000 * s.shared) // (ca.n + cb.n - s.shared) AS BIGINT) AS jac_millis
@@ -254,14 +251,23 @@ object DedupQueries {
       |JOIN cnt cb ON cb.doc_id = s.id_b
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
-    // MEMORY_ONLY: cached while it fits, recomputed under pressure,
-    // never competing for the shuffles' disk (see shingledMemOnly)
-    val sh = shingledMemOnly(corpus(s, dir))
-    val hashed = sh.select(col("doc_id"),
-      (expr(h60("shingle")) % 2147483647L).as("h31"))
+    // Hash each shingle ONCE into a 60-bit long; everything downstream
+    // — the minhash permutations, the per-doc counts, the exact verify
+    // join — runs in HASH space. The (doc_id, h) long pairs are what
+    // the pipeline caches and shuffles: ~4x smaller rows than the raw
+    // strings (the measured 1000x scratch hog), and both engines
+    // compute the identical md5-derived digest, so the hash-space
+    // Jaccard is exactly defined cross-engine. MEMORY_ONLY: cached
+    // while it fits, recomputed under pressure, never competing with
+    // the band join's shuffles for scratch disk.
+    val hashed = Q.persistScopedAt(
+      shingledFresh(corpus(s, dir))
+        .select(col("doc_id"), expr(h60("shingle")).as("h")),
+      org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val hp = hashed.select(col("doc_id"), (col("h") % 2147483647L).as("h31"))
     def perm(k: Int) =
       (lit(MinHashPerm.a(k)) * col("h31") + lit(MinHashPerm.b(k))) % 2147483647L
-    val mh = hashed.groupBy("doc_id")
+    val mh = hp.groupBy("doc_id")
       .agg(min(perm(0)).as("mh0"),
         (1 until 8).map(k => min(perm(k)).as(s"mh$k")): _*)
       .transform(Q.persistScoped)
@@ -286,15 +292,15 @@ object DedupQueries {
     // recompute the band pipeline. One count() fills both the cand and
     // (transitively) the sh cache in a single pass.
     cand.count()
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // shrink the verify join to candidate docs' shingles only
+    val cnt = hashed.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // shrink the verify join to candidate docs' hashes only
     val cids = cand.select(col("id_a").as("cid"))
       .union(cand.select(col("id_b"))).distinct()
-    val shc = sh.join(cids, col("doc_id") === col("cid"), "left_semi")
+    val shc = hashed.join(cids, col("doc_id") === col("cid"), "left_semi")
     val shared = cand
-      .join(shc.toDF("sa_doc", "shingle"), col("id_a") === col("sa_doc"))
-      .join(shc.toDF("sb_doc", "shingle_b"),
-        col("id_b") === col("sb_doc") && col("shingle") === col("shingle_b"))
+      .join(shc.toDF("sa_doc", "h"), col("id_a") === col("sa_doc"))
+      .join(shc.toDF("sb_doc", "h_b"),
+        col("id_b") === col("sb_doc") && col("h") === col("h_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
     shared
       .join(cnt.toDF("id_a2", "na"), col("id_a") === col("id_a2"))
@@ -406,12 +412,13 @@ object DedupQueries {
     "dedup_incremental",
     s"""WITH $corpusSql,
       |$shingledSql,
-      |h AS (SELECT doc_id, ${dh60("shingle")} % 2147483647 AS h31 FROM sh),
+      |hh AS (SELECT doc_id, ${dh60("shingle")} AS h FROM sh),
+      |hp AS (SELECT doc_id, h % 2147483647 AS h31 FROM hh),
       |mh AS (SELECT doc_id,
       |${(0 until 8).map(k =>
         s"  min((${MinHashPerm.a(k)} * h31 + ${MinHashPerm.b(k)}) % 2147483647) AS mh$k")
         .mkString(",\n")}
-      |FROM h GROUP BY doc_id),
+      |FROM hp GROUP BY doc_id),
       |bands AS (
       |${(0 until 4).map(b =>
         s"  SELECT doc_id, $b AS band, md5(CAST(mh${2 * b} AS VARCHAR) || ',' || CAST(mh${2 * b + 1} AS VARCHAR)) AS sig FROM mh")
@@ -420,12 +427,12 @@ object DedupQueries {
       |  FROM bands n JOIN bands o
       |    ON n.band = o.band AND n.sig = o.sig
       |   AND n.doc_id >= 100000 AND o.doc_id < 100000),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM hh GROUP BY doc_id),
       |shared AS (
       |  SELECT c.new_id, c.old_id, count(*) AS shared
       |  FROM cand c
-      |  JOIN sh sa ON sa.doc_id = c.new_id
-      |  JOIN sh sb ON sb.doc_id = c.old_id AND sb.shingle = sa.shingle
+      |  JOIN hh sa ON sa.doc_id = c.new_id
+      |  JOIN hh sb ON sb.doc_id = c.old_id AND sb.h = sa.h
       |  GROUP BY 1, 2)
       |SELECT s.new_id, s.old_id,
       |  CAST((1000 * s.shared) // (ca.n + cb.n - s.shared) AS BIGINT) AS jac_millis
@@ -435,13 +442,16 @@ object DedupQueries {
       |WHERE (1000 * s.shared) // (ca.n + cb.n - s.shared) >= 500
       |ORDER BY new_id, old_id""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
-    // MEMORY_ONLY — same scratch-bounding shape as minhashLsh
-    val sh = shingledMemOnly(corpus(s, dir))
-    val hashed = sh.select(col("doc_id"),
-      (expr(h60("shingle")) % 2147483647L).as("h31"))
+    // hash-space pipeline, MEMORY_ONLY — same scratch-bounding shape
+    // and cross-engine-exactness argument as minhashLsh
+    val hashed = Q.persistScopedAt(
+      shingledFresh(corpus(s, dir))
+        .select(col("doc_id"), expr(h60("shingle")).as("h")),
+      org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val hp = hashed.select(col("doc_id"), (col("h") % 2147483647L).as("h31"))
     def perm(k: Int) =
       (lit(MinHashPerm.a(k)) * col("h31") + lit(MinHashPerm.b(k))) % 2147483647L
-    val mh = hashed.groupBy("doc_id")
+    val mh = hp.groupBy("doc_id")
       .agg(min(perm(0)).as("mh0"),
         (1 until 8).map(k => min(perm(k)).as(s"mh$k")): _*)
       .transform(Q.persistScoped)
@@ -459,11 +469,11 @@ object DedupQueries {
       .select("new_id", "old_id").distinct()
       .transform(Q.persistScoped)
     cand.count() // eager: shared by the verify join's three consumers
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cnt = hashed.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = cand
-      .join(sh.toDF("sa_doc", "shingle"), col("new_id") === col("sa_doc"))
-      .join(sh.toDF("sb_doc", "shingle_b"),
-        col("old_id") === col("sb_doc") && col("shingle") === col("shingle_b"))
+      .join(hashed.toDF("sa_doc", "h"), col("new_id") === col("sa_doc"))
+      .join(hashed.toDF("sb_doc", "h_b"),
+        col("old_id") === col("sb_doc") && col("h") === col("h_b"))
       .groupBy("new_id", "old_id").agg(count(lit(1)).as("shared"))
     shared
       .join(cnt.toDF("na_doc", "na"), col("new_id") === col("na_doc"))
