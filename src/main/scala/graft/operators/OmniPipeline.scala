@@ -150,6 +150,37 @@ object PropertyRegistry {
       .toDF("propertyId", "txDbSerialNum", "txType")
   }
 
+  /** The narrow lifecycle-event projection that crosses the registry
+    * shuffle: only the ~15 scalar fields the fold reads — never the
+    * full RawTx with its five Seq payload columns (recipients,
+    * subsends, purchases, matches, cancels), which would multiply the
+    * exchange and the partition sort several-fold for bytes the fold
+    * ignores.
+    */
+  final case class PropEvent(
+      typeInt: Int,
+      sendingaddress: String,
+      referenceaddress: Option[String],
+      divisible: Boolean,
+      amount: BigDecimal,
+      purchasedtokens: BigDecimal,
+      purchaseddivisible: Boolean,
+      issuertokens: BigDecimal,
+      addedissuertokens: BigDecimal,
+      ecosystem: String,
+      propertyname: String,
+      propertycategory: String,
+      propertysubcategory: String,
+      propertyurl: String,
+      propertydata: String)
+
+  private def toEvent(tx: RawTx): PropEvent =
+    PropEvent(tx.type_int, tx.sendingaddress, tx.referenceaddress,
+      tx.divisible, tx.amount, tx.purchasedtokens, tx.purchaseddivisible,
+      tx.issuertokens, tx.addedissuertokens, tx.ecosystem,
+      tx.propertyname, tx.propertycategory, tx.propertysubcategory,
+      tx.propertyurl, tx.propertydata)
+
   def derive(txs: Dataset[(RawTx, Long)]): Dataset[SmartProperty] = {
     val spark = txs.sparkSession
     import spark.implicits._
@@ -161,7 +192,7 @@ object PropertyRegistry {
       // are minted in purchasedpropertyid (sql.py:2180-2232)
       .map { case (tx, s) =>
         (if (tx.type_int == -51) tx.purchasedpropertyid else tx.propertyid,
-          tx, s)
+          toEvent(tx), s)
       }
     // Secondary sort instead of groupByKey+toSeq (the DexLifecycle
     // pattern): one shuffle on propertyid, serial order established by
@@ -181,7 +212,8 @@ object PropertyRegistry {
     * iterator form requires serial-ordered input, so sort here.
     */
   def foldKey(pid: Long, events: Seq[(RawTx, Long)]): SmartProperty =
-    foldKey(pid, events.sortBy(_._2).iterator)
+    foldKey(pid,
+      events.sortBy(_._2).iterator.map { case (tx, s) => (toEvent(tx), s) })
 
   /** Single-pass fold of one property's serial-ordered lifecycle with
     * O(1) state. Equivalent to "find the first 50/51/54 create (else
@@ -195,9 +227,9 @@ object PropertyRegistry {
     * issuer/delegate override) are create-independent, so the whole
     * fold streams.
     */
-  def foldKey(pid: Long, events: Iterator[(RawTx, Long)]): SmartProperty = {
-    var first: (RawTx, Long) = null
-    var create: (RawTx, Long) = null // first 50/51/54 event
+  def foldKey(pid: Long, events: Iterator[(PropEvent, Long)]): SmartProperty = {
+    var first: (PropEvent, Long) = null
+    var create: (PropEvent, Long) = null // first 50/51/54 event
     var lastSerial = Long.MinValue
     var issuerOverride: Option[String] = None // last 70 wins
     var delegate = ""
@@ -210,7 +242,7 @@ object PropertyRegistry {
     events.foreach { case (tx, s) =>
       if (first == null) first = (tx, s)
       lastSerial = s
-      tx.type_int match {
+      tx.typeInt match {
         case 50 | 51 | 54 =>
           if (create == null) create = (tx, s)
         case -51 =>
@@ -237,7 +269,7 @@ object PropertyRegistry {
       }
     }
     val (ctx, cserial) = if (create != null) create else first
-    val crowdsale = ctx.type_int == 51
+    val crowdsale = ctx.typeInt == 51
     if (crowdsale && closed) issuerTokens += first53Credit
     // assembled PropertyData payload (sql.py:1565-1575 + jsonb column)
     def esc(s: String) = s.flatMap {
@@ -253,7 +285,7 @@ object PropertyRegistry {
         ctx.propertydata)}","divisible":${ctx.divisible}}"""
     SmartProperty(pid, issuerOverride.getOrElse(ctx.sendingaddress),
       ctx.ecosystem, ctx.propertyname,
-      ctx.divisible, managed = ctx.type_int == 54, cserial,
+      ctx.divisible, managed = ctx.typeInt == 54, cserial,
       lastSerial,
       propertyType = if (ctx.divisible) 2 else 1,
       category = ctx.propertycategory,
