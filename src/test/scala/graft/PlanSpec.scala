@@ -209,4 +209,22 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange SinglePartition"),
       s"single-partition exchange in the packed output:\n$p")
   }
+
+  test("e2e ingest: rate dim broadcast; no single-partition exchange on the data path") {
+    val p = plan(graft.queries.PipelineQueries.e2eIngest)
+    // the 1-row rates dim must broadcast into the serving join
+    assert(p.contains("BroadcastHashJoin"), p)
+    // serials come from the range-partition stamper, never a global
+    // window — no stage may collapse the ledger to one partition
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in e2e ingest:\n$p")
+  }
+
+  test("s8 sink roundtrip: read-back joins the metadata-scale file stats broadcast") {
+    val p = plan(graft.queries.SourceQueries.sinkRoundtrip)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in sink roundtrip:\n$p")
+  }
 }
