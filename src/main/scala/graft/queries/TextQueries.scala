@@ -383,39 +383,13 @@ object TextQueries {
       .orderBy("w")
   }
 
-  /** One greedy BPE merge: scan the symbol sequence left to right,
-    * replacing each non-overlapping (x, y) adjacency with the merged
-    * symbol — the textbook tokenizer-training merge step. The oracle
-    * expresses the same semantics relationally: within each run of
-    * consecutive matched positions, every other position (starting at
-    * the first) is merged, which is exactly what the greedy scan picks.
+  /** Shared oracle chain for the BPE queries: vocabulary, character
+    * split, and THREE unrolled greedy-merge iterations (run-parity
+    * window formulation), ending at the post-merge symbol table t3.
+    * No line may START with '||' (re-interpolated into stripMargin).
     */
-  private[graft] def mergePair(sym: Seq[String], x: String,
-      y: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var i = 0
-    while (i < sym.length) {
-      if (i + 1 < sym.length && sym(i) == x && sym(i + 1) == y) {
-        out += x + y; i += 2
-      } else { out += sym(i); i += 1 }
-    }
-    out.toSeq
-  }
-
-  /** BPE merge LOOP — the actual tokenizer-training inner loop, not
-    * just its first pair count ([[bpePairs]]): K=3 iterations of
-    * count-pairs → pick top merge (ties by pair string, both engines) →
-    * apply the merge to every vocabulary word, then the surviving
-    * top-20 candidates. State per iteration is VOCABULARY-sized (the
-    * corpus shuffles once into word counts and never again) and the
-    * chosen merge is a 1-row driver read per iteration — the trainer's
-    * merge table IS driver state, as in every BPE implementation. The
-    * oracle unrolls the three iterations with the run-parity window
-    * formulation of the greedy merge.
-    */
-  val bpeMergeLoop = Q(
-    "bpe_merge_loop",
-    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+  private val bpeIterSql =
+    """tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
       |v AS (SELECT w, count(*) AS wc FROM tok WHERE length(w) >= 2 GROUP BY w),
       |t0 AS (SELECT w, wc, pos, substr(w, CAST(pos AS INT), 1) AS sym
       |  FROM (SELECT w, wc, unnest(range(1, length(w) + 1)) AS pos FROM v)),
@@ -478,7 +452,41 @@ object TextQueries {
       |    CASE WHEN sel THEN merged ELSE sym END AS sym
       |  FROM (SELECT *, coalesce(lag(sel) OVER (PARTITION BY w ORDER BY pos),
       |      FALSE) AS psel FROM s3)
-      |  WHERE NOT psel),
+      |  WHERE NOT psel)""".stripMargin
+
+  /** One greedy BPE merge: scan the symbol sequence left to right,
+    * replacing each non-overlapping (x, y) adjacency with the merged
+    * symbol — the textbook tokenizer-training merge step. The oracle
+    * expresses the same semantics relationally: within each run of
+    * consecutive matched positions, every other position (starting at
+    * the first) is merged, which is exactly what the greedy scan picks.
+    */
+  private[graft] def mergePair(sym: Seq[String], x: String,
+      y: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < sym.length) {
+      if (i + 1 < sym.length && sym(i) == x && sym(i + 1) == y) {
+        out += x + y; i += 2
+      } else { out += sym(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** BPE merge LOOP — the actual tokenizer-training inner loop, not
+    * just its first pair count ([[bpePairs]]): K=3 iterations of
+    * count-pairs → pick top merge (ties by pair string, both engines) →
+    * apply the merge to every vocabulary word, then the surviving
+    * top-20 candidates. State per iteration is VOCABULARY-sized (the
+    * corpus shuffles once into word counts and never again) and the
+    * chosen merge is a 1-row driver read per iteration — the trainer's
+    * merge table IS driver state, as in every BPE implementation. The
+    * oracle unrolls the three iterations with the run-parity window
+    * formulation of the greedy merge.
+    */
+  val bpeMergeLoop = Q(
+    "bpe_merge_loop",
+    s"""WITH ${TextQueries.bpeIterSql},
       |e4 AS (SELECT w, wc, pos, sym,
       |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM t3),
       |p4 AS (SELECT sym || ' ' || nxt AS pair, CAST(sum(wc) AS BIGINT) AS n
@@ -490,6 +498,35 @@ object TextQueries {
       |  (SELECT pair, n FROM p4 ORDER BY n DESC, pair LIMIT 20)
       |ORDER BY iter, n DESC, pair""".stripMargin) { (s, dir) =>
     import s.implicits._
+    val (merges, vocab) = bpeTrain(s, dir)
+    val mergesDf = merges.toDF("iter", "pair", "n")
+    val finalTop = bpePairCounts(vocab)
+      .orderBy(col("n").desc, col("pair")).limit(20)
+      .select(lit(4L).as("iter"), col("pair"), col("n"))
+    mergesDf.union(finalTop)
+      .orderBy(col("iter"), col("n").desc, col("pair"))
+  }
+
+  private def bpePairCounts(
+      v: org.apache.spark.sql.Dataset[(String, Long, Seq[String])]) = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    v.flatMap { case (_, wc, sym) =>
+      sym.sliding(2).collect { case Seq(a, b) => (a + " " + b, wc) }
+    }.toDF("pair", "wc")
+      .groupBy("pair").agg(sum("wc").cast(LongType).as("n"))
+  }
+
+  /** The BPE training loop shared by [[bpeMergeLoop]] and [[bpeEncode]]:
+    * K=3 rounds of count-pairs → top merge (1-row driver read per
+    * iteration — the trainer's merge table IS driver state, as in every
+    * BPE implementation) → greedy apply over the vocabulary. Returns
+    * the chosen merges and the post-merge vocabulary symbol table.
+    */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Seq[(Long, String, Long)],
+         org.apache.spark.sql.Dataset[(String, Long, Seq[String])]) = {
+    import s.implicits._
     var cur = Q.persistScoped(
       t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
@@ -498,16 +535,9 @@ object TextQueries {
         .as[(String, Long)]
         .map { case (w, wc) => (w, wc, w.split("").toSeq) })
     cur.count() // EAGER: each iteration folds over the previous state
-    def pairCounts(v: org.apache.spark.sql.Dataset[(String, Long, Seq[String])]) =
-      v.flatMap { case (_, wc, sym) =>
-        sym.sliding(2).collect { case Seq(a, b) => (a + " " + b, wc) }
-      }.toDF("pair", "wc")
-        .groupBy("pair").agg(sum("wc").cast(LongType).as("n"))
     val merges = Seq.newBuilder[(Long, String, Long)]
     for (k <- 1 to 3) {
-      // top merge candidate: vocabulary-scale reduction, 1-row driver
-      // read per iteration — the trainer's merge table IS driver state
-      val top = pairCounts(cur).orderBy(col("n").desc, col("pair")).head()
+      val top = bpePairCounts(cur).orderBy(col("n").desc, col("pair")).head()
       val (pair, n) = (top.getString(0), top.getLong(1))
       merges += ((k.toLong, pair, n))
       val Array(x, y) = pair.split(" ")
@@ -517,15 +547,44 @@ object TextQueries {
       next.count()
       cur = next
     }
-    val mergesDf = merges.result().toDF("iter", "pair", "n")
-    val finalTop = pairCounts(cur)
-      .orderBy(col("n").desc, col("pair")).limit(20)
-      .select(lit(4L).as("iter"), col("pair"), col("n"))
-    mergesDf.union(finalTop)
-      .orderBy(col("iter"), col("n").desc, col("pair"))
+    (merges.result(), cur)
+  }
+
+  /** Tokenizer APPLY — the inference side of [[bpeMergeLoop]]: encode
+    * the corpus with the trained merges. The trained vocabulary
+    * (word → post-merge symbol count) is a vocabulary-SIZED dimension
+    * broadcast back over the corpus token stream — the mix_token_budget
+    * scale shape: the corpus is scanned once and never shuffled for the
+    * join; per-doc totals are one map-side-combinable aggregation.
+    * Words the trainer never saw (single characters here) encode as one
+    * symbol. Compression = whitespace tokens vs BPE symbols per doc.
+    */
+  val bpeEncode = Q(
+    "bpe_encode",
+    s"""WITH ${TextQueries.bpeIterSql},
+      |nsym AS (SELECT w, count(*) AS n FROM t3 GROUP BY w),
+      |tok2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents)
+      |SELECT t.doc_id,
+      |  count(*) AS ws_tokens,
+      |  CAST(sum(coalesce(ns.n, 1)) AS BIGINT) AS bpe_tokens
+      |FROM tok2 t LEFT JOIN nsym ns ON ns.w = t.w
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val (_, vocab) = bpeTrain(s, dir)
+    val nsym = vocab.map { case (w, _, sym) => (w, sym.length.toLong) }
+      .toDF("w", "n")
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(nsym), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ws_tokens"),
+        sum(coalesce(col("n"), lit(1L))).cast(LongType).as("bpe_tokens"))
+      .orderBy("doc_id")
   }
 
   val all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, vocabulary, tfidf, unigramLm,
-      cdcChunks, bpePairs, bpeMergeLoop, fixedChunks, invertedIndex)
+      cdcChunks, bpePairs, bpeMergeLoop, bpeEncode, fixedChunks,
+      invertedIndex)
 }
