@@ -50,6 +50,15 @@ object CacheScope {
     }
   }
 
+  /** Defer an arbitrary cleanup (e.g. `broadcast.destroy()`) to the
+    * next [[release]] — for resources the Dataset cache manager does
+    * not track. The harness calls release only after the query's
+    * action completes, so destroying a broadcast here is safe.
+    */
+  def defer(cleanup: () => Unit): Unit = scoped.synchronized {
+    scoped += cleanup
+  }
+
   /** Unpersist every registered intermediate since the last release. */
   def release(): Unit = scoped.synchronized {
     scoped.foreach(_.apply())

@@ -101,14 +101,10 @@ object DedupQueries {
       .select(col("doc_id"),
         explode(expr(shingleSparkExpr)).as("shingle"))
 
+  // reused 4× downstream on a BOUNDED id range (harness guard) —
+  // persist so the explode runs once
   private def shingled(c: DataFrame): DataFrame =
-    c.withColumn("arr", split(col("text"), " "))
-      .where(size(col("arr")) >= 3)
-      .select(col("doc_id"),
-        explode(expr(shingleSparkExpr)).as("shingle"))
-      // reused 4× downstream on a BOUNDED id range (harness guard) —
-      // persist so the explode runs once
-      .transform(Q.persistScoped)
+    shingledFresh(c).transform(Q.persistScoped)
 
   private val shingledSql =
     """arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM corpus

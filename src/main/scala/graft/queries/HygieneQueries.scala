@@ -148,6 +148,10 @@ object HygieneQueries {
     // instead of degrading past a fixed guess.
     val bloom = s.sparkContext.broadcast(bench.stat.bloomFilter("shingle",
       math.max(bench.count(), 1L), 0.03))
+    // the ~GB-scale (at production fpp/cardinality) filter must not
+    // outlive the query: destroy with the scoped caches, which the
+    // harness releases only after the action completes
+    graft.CacheScope.defer(() => bloom.destroy())
     val mightContain =
       udf((sh: String) => sh != null && bloom.value.mightContain(sh))
     sh.where(col("doc_id") % 97 =!= 0)

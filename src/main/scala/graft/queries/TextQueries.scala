@@ -533,21 +533,44 @@ object TextQueries {
         .where(length(col("w")) >= 2)
         .groupBy("w").agg(count(lit(1)).as("wc"))
         .as[(String, Long)]
-        .map { case (w, wc) => (w, wc, w.split("").toSeq) })
+        // split into CODE POINTS, not UTF-16 units — DuckDB's
+        // substr(w, pos, 1) is code-point based, and a surrogate-pair
+        // split would diverge on astral-plane text
+        .map { case (w, wc) => (w, wc, codePoints(w)) })
     cur.count() // EAGER: each iteration folds over the previous state
     val merges = Seq.newBuilder[(Long, String, Long)]
     for (k <- 1 to 3) {
-      val top = bpePairCounts(cur).orderBy(col("n").desc, col("pair")).head()
-      val (pair, n) = (top.getString(0), top.getLong(1))
-      merges += ((k.toLong, pair, n))
-      val Array(x, y) = pair.split(" ")
-      val next = Q.persistScoped(cur.map { case (w, wc, sym) =>
-        (w, wc, mergePair(sym, x, y))
-      })
-      next.count()
-      cur = next
+      val top = bpePairCounts(cur)
+        .orderBy(col("n").desc, col("pair")).limit(1).collect()
+      if (top.isEmpty) {
+        // no pairs left: the oracle's empty m_k CTE cross-joins g_k to
+        // empty, so t_k and everything after it are EMPTY — mirror that
+        // instead of crashing on head() of nothing
+        cur = s.emptyDataset[(String, Long, Seq[String])]
+      } else {
+        val (pair, n) = (top.head.getString(0), top.head.getLong(1))
+        merges += ((k.toLong, pair, n))
+        val Array(x, y) = pair.split(" ")
+        val next = Q.persistScoped(cur.map { case (w, wc, sym) =>
+          (w, wc, mergePair(sym, x, y))
+        })
+        next.count()
+        cur = next
+      }
     }
     (merges.result(), cur)
+  }
+
+  /** Code-point symbol split (one String per code point). */
+  private def codePoints(w: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
   }
 
   /** Tokenizer APPLY — the inference side of [[bpeMergeLoop]]: encode

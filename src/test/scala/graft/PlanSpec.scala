@@ -208,6 +208,7 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("Exchange SinglePartition"),
       s"single-partition exchange in the packed output:\n$p")
+    releaseScopedCaches()
   }
 
   test("e2e ingest: rate dim broadcast; no single-partition exchange on the data path") {
@@ -218,6 +219,7 @@ class PlanSpec extends SparkTestBase {
     // window — no stage may collapse the ledger to one partition
     assert(!p.contains("Exchange SinglePartition"),
       s"single-partition exchange in e2e ingest:\n$p")
+    releaseScopedCaches()
   }
 
   test("s8 sink roundtrip: read-back joins the metadata-scale file stats broadcast") {
@@ -226,5 +228,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("Exchange SinglePartition"),
       s"single-partition exchange in sink roundtrip:\n$p")
+    releaseScopedCaches()
+  }
+
+  /** These plan probes EXECUTE query builders that register scoped
+    * caches and the stamper RDD; release them so the shared test
+    * session carries no resident blocks into later suites (the
+    * CacheHygieneSpec invariant must not depend on suite order).
+    */
+  private def releaseScopedCaches(): Unit = {
+    graft.queries.Q.releaseScoped()
+    graft.operators.OmniPipeline.releaseStamperCache()
   }
 }

@@ -51,6 +51,17 @@ class PropertyRegistrySpec extends SparkTestBase {
     assert(p.issuerTokens == 40) // the 999 of the dead close is ignored
   }
 
+  test("foldKey Seq overload sorts by serial before the stream fold") {
+    // hand the fixture in REVERSE serial order: the overload must sort
+    // (the iterator form requires serial order) and match derive()
+    val events = crowdsale().map { case (t, s) => (t.copy(propertyid =
+      if (t.type_int == -51) t.propertyid else 7), s) }
+    val fromSeq = PropertyRegistry.foldKey(7L, events.reverse)
+    val fromDerive = PropertyRegistry.derive(spark.createDataset(events))
+      .collect().head
+    assert(fromSeq == fromDerive)
+  }
+
   test("managed property: grant/revoke net + open crowdsale stays active") {
     val events = Seq(
       (tx(54, A, pid = 8, divisible = false).copy(propertyname = "Mgd"), 1L),
