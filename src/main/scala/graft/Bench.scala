@@ -90,12 +90,25 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = firstPass.map {
-      case (n, _, (t, true)) if t < 1.0 => n -> t
+    // (name, all successful run times) — single-run fast queries carry
+    // one sample; slow queries three. Median is the headline estimator;
+    // min is ALSO recorded in BENCH_DETAIL so a reader can separate
+    // box-variance drift (min flat, median up) from a real plan
+    // regression (both up) without re-running.
+    val runTimes: Seq[(String, Seq[Double])] = firstPass.map {
+      case (n, _, (t, true)) if t < 1.0 => n -> Seq(t)
       case (n, fn, (t, true)) =>
         val extra = Seq(timed(fn), timed(fn)).collect { case (t2, true) => t2 }
-        n -> median(t +: extra)
-      case (n, _, (_, false)) => n -> -1.0
+        n -> (t +: extra)
+      case (n, _, (_, false)) => n -> Seq.empty[Double]
+    }
+    val results = runTimes.map {
+      case (n, ts) if ts.nonEmpty => n -> median(ts)
+      case (n, _) => n -> -1.0
+    }
+    val mins = runTimes.map {
+      case (n, ts) if ts.nonEmpty => n -> ts.min
+      case (n, _) => n -> -1.0
     }
     def fmt(v: Double): String = f"$v%.3f"
     def mapJson(rs: Seq[(String, Double)]): String =
@@ -103,8 +116,9 @@ object Bench {
         .mkString("{", ",", "}")
     val nFailed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
+    val totalMin = mins.map(_._2).filter(_ >= 0).sum
     val detail =
-      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":${mapJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":${mapJson(results)},"queries_min":${mapJson(mins)},"total_min":${fmt(totalMin)},"sf":"$sfDir"}"""
     // Full per-query map: one stdout line (may be cut from the tail) and
     // a repo-local file the judge can read.
     println(detail)

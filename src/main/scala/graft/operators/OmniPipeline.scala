@@ -15,17 +15,6 @@ import graft.model._
   */
 object OmniPipeline {
 
-  private var lastStamperCache: Option[org.apache.spark.rdd.RDD[_]] = None
-
-  /** Release the one live stamper cache (see [[stamp]]); harnesses and
-    * long-lived sessions call this with [[graft.CacheScope.release]]
-    * after consuming a derivation.
-    */
-  def releaseStamperCache(): Unit = OmniPipeline.synchronized {
-    lastStamperCache.foreach(_.unpersist(blocking = false))
-    lastStamperCache = None
-  }
-
   final case class Derived(
       txs: Dataset[(RawTx, Long)],
       ledger: Dataset[LedgerEntry],
@@ -54,15 +43,16 @@ object OmniPipeline {
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
     // zipWithIndex runs a count job before the data pass — cache the
-    // sorted RDD so the shuffle+sort executes once, not twice. Only one
-    // stamper cache is live at a time (released on the next call), so
-    // repeated pipeline runs in one session don't accumulate memory.
+    // sorted RDD so the shuffle+sort executes once, not twice. The
+    // cache is query-scoped via CacheScope (NOT a global single slot,
+    // which would let two stamper-using queries running concurrently in
+    // one session unpersist each other's RDD mid-flight): each caller's
+    // cache lives until the harness's CacheScope.release() after its
+    // action completes, and the zero-resident-after-release invariant
+    // (CacheHygieneSpec) is preserved because release drops them all.
     val rdd = sorted.rdd.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    OmniPipeline.synchronized {
-      lastStamperCache.foreach(_.unpersist(blocking = false))
-      lastStamperCache = Some(rdd)
-    }
+    graft.CacheScope.defer(() => rdd.unpersist(blocking = false))
     spark.createDataset(
       rdd.zipWithIndex.map { case (tx, i) => (tx, i + 1L) })
   }
@@ -268,6 +258,10 @@ object PropertyRegistry {
         case _ => ()
       }
     }
+    // GroupRuns only emits non-empty runs, but foldKey is public API:
+    // fail loudly on a caller's empty iterator instead of NPE'ing on
+    // ctx.typeInt below.
+    require(first != null, s"empty lifecycle event stream for property $pid")
     val (ctx, cserial) = if (create != null) create else first
     val crowdsale = ctx.typeInt == 51
     if (crowdsale && closed) issuerTokens += first53Credit

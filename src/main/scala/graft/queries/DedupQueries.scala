@@ -233,7 +233,8 @@ object DedupQueries {
       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
       |cnt AS (SELECT doc_id, count(*) AS n FROM hh GROUP BY doc_id),
       |cids AS (SELECT id_a AS cid FROM cand UNION SELECT id_b FROM cand),
-      |shc AS (SELECT doc_id, h FROM hh WHERE doc_id IN (SELECT cid FROM cids)),
+      |shc AS (SELECT DISTINCT doc_id, h FROM hh
+      |        WHERE doc_id IN (SELECT cid FROM cids)),
       |shared AS (
       |  SELECT c.id_a, c.id_b, count(*) AS shared
       |  FROM cand c
@@ -292,7 +293,12 @@ object DedupQueries {
     // shrink the verify join to candidate docs' hashes only
     val cids = cand.select(col("id_a").as("cid"))
       .union(cand.select(col("id_b"))).distinct()
+    // DISTINCT per (doc_id, h): a duplicate shingle (or a within-doc
+    // digest collision) would otherwise double-count in the multiset
+    // verify join below. Candidate docs only — this never touches the
+    // full corpus, so the dedup exchange is candidate-sized.
     val shc = hashed.join(cids, col("doc_id") === col("cid"), "left_semi")
+      .distinct()
     val shared = cand
       .join(shc.toDF("sa_doc", "h"), col("id_a") === col("sa_doc"))
       .join(shc.toDF("sb_doc", "h_b"),

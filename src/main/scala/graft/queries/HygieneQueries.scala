@@ -149,9 +149,13 @@ object HygieneQueries {
     val bloom = s.sparkContext.broadcast(bench.stat.bloomFilter("shingle",
       math.max(bench.count(), 1L), 0.03))
     // the ~GB-scale (at production fpp/cardinality) filter must not
-    // outlive the query: destroy with the scoped caches, which the
-    // harness releases only after the action completes
-    graft.CacheScope.defer(() => bloom.destroy())
+    // outlive the query: unpersist (NOT destroy) with the scoped caches
+    // — executor copies are freed, but the driver can re-broadcast if
+    // the returned DataFrame is re-executed after release (a retry or a
+    // second action), matching how every other scoped resource
+    // recomputes after unpersist. destroy() would make re-execution
+    // throw on the dead broadcast.
+    graft.CacheScope.defer(() => bloom.unpersist(false))
     val mightContain =
       udf((sh: String) => sh != null && bloom.value.mightContain(sh))
     sh.where(col("doc_id") % 97 =!= 0)

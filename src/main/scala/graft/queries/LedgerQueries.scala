@@ -78,24 +78,30 @@ object LedgerQueries {
         .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
         .select($"o_orderkey".as("ok"), $"o_custkey".as("ck"),
           $"l_partkey".as("pk"),
-          round($"l_quantity" * 100).cast(LongType).as("units"),
-          $"l_linenumber".as("ln"))
-        .as[(Long, Long, Long, Long, Int)]
-      val txs = items.groupByKey(_._1).mapGroups { (ok, it) =>
-        val rows = it.toSeq.sortBy(_._5)
-        val ck = rows.head._2
-        RawTx(txid = f"$ok%016x", protocol = "Omni",
+          round($"l_quantity" * 100).cast(LongType).as("units"))
+        .as[(Long, Long, Long, Long)]
+      // The type-4 decode is LINEAR in subsends (LedgerDecoder case 4:
+      // each subsend emits an independent debit/credit pair reading only
+      // tx-level sender/recipient), so decode(tx with S subsends) and
+      // ⋃ decode(single-subsend txs) produce the same (address,
+      // property, delta) multiset — only addressTxIndex numbering
+      // differs, which balances never read. Decoding each joined row
+      // directly therefore skips the order-grouping shuffle entirely:
+      // the r5 1000x probe measured that group-then-explode round trip
+      // (assemble RawTx subsend Seqs that decode immediately re-explodes)
+      // as the one cost curve that bent (17x on the last decade, a ~24 GB
+      // spilling shuffle for bytes the output never observes). No global
+      // stamper either: serials are not observed by this output, and the
+      // order key is already unique and monotone.
+      val ledger = items.flatMap { case (ok, ck, pk, units) =>
+        LedgerDecoder.decode(RawTx(txid = f"$ok%016x", protocol = "Omni",
           sendingaddress = s"C$ck", referenceaddress = Some("W"),
           type_int = 4, version = 0, valid = true, block = ok,
           blocktime = 0, positioninblock = 0, propertyid = 0,
           divisible = false, amount = 0,
-          subsends = rows.map(r =>
-            SubSend(r._3, divisible = false, BigDecimal(r._4))))
+          subsends = Seq(SubSend(pk, divisible = false,
+            BigDecimal(units)))), ok)
       }
-      // No global stamper: serials are not observed by this output, and
-      // the order key (the order id) is already unique and monotone — at
-      // scale this saves the sample+count passes entirely.
-      val ledger = txs.flatMap(tx => LedgerDecoder.decode(tx, tx.block))
       Balances.derive(ledger)
         .select($"address", $"propertyId".as("property_id"), $"available")
         .orderBy("address", "property_id")

@@ -316,6 +316,12 @@ object Multimodal {
     val fmt = ais.getFormat
     require(fmt.getSampleSizeInBits == 16,
       s"expected 16-bit PCM, got ${fmt.getSampleSizeInBits}")
+    // the sign interpretation below assumes signed PCM; an unsigned (or
+    // float/compressed) container must fail loudly like a wrong width,
+    // not silently decode with an offset
+    require(fmt.getEncoding ==
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      s"expected PCM_SIGNED, got ${fmt.getEncoding}")
     val bytes = ais.readAllBytes()
     ais.close()
     val big = fmt.isBigEndian

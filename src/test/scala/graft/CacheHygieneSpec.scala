@@ -24,8 +24,9 @@ class CacheHygieneSpec extends SparkTestBase {
     val qmap = SparkEntry.queries
     heavy.foreach { name =>
       qmap(name)(spark, dir).count()
+      // one release drops everything, including stamper caches (now
+      // CacheScope-deferred, not a global slot)
       Q.releaseScoped()
-      graft.operators.OmniPipeline.releaseStamperCache()
       val left = spark.sparkContext.getPersistentRDDs
       assert(left.isEmpty,
         s"$name left ${left.size} cached RDDs: " +

@@ -146,4 +146,34 @@ class OmniPipelineSpec extends SparkTestBase {
       .map(r => r.seller -> r.remaining).toMap
     assert(rem(A) == 0L && rem(B) == 0L)
   }
+
+  test("two CONCURRENT stamped derivations both complete with correct serials") {
+    // The stamper cache used to be a global single slot: a second
+    // stamp() call unpersisted the first caller's RDD mid-flight. Now
+    // each stamp defers its own cleanup to CacheScope, so concurrent
+    // stamper users cannot release each other. Run two derivations on
+    // separate threads through a barrier that forces both stamps to be
+    // live at once, then release and assert the hygiene invariant.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    graft.queries.Q.releaseScoped() // start from a clean slate
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def derived(shift: Long): Future[Seq[Long]] = Future {
+      val txs = chain.map(t => t.copy(block = t.block + shift))
+      val stamped = OmniPipeline.withSerials(
+        spark.createDataset(txs).repartition(5))
+      barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      // both stamper caches are persisted now; each thread consumes its
+      // own AFTER the other's stamp has run
+      stamped.collect().sortBy(_._2).map(_._2).toSeq
+    }
+    val (a, b) = (derived(0L), derived(100L))
+    val expect = (1L to chain.size).toSeq
+    assert(Await.result(a, 60.seconds) == expect)
+    assert(Await.result(b, 60.seconds) == expect)
+    graft.queries.Q.releaseScoped()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "stamper caches must not survive release")
+  }
 }

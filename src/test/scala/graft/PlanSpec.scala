@@ -236,8 +236,6 @@ class PlanSpec extends SparkTestBase {
     * session carries no resident blocks into later suites (the
     * CacheHygieneSpec invariant must not depend on suite order).
     */
-  private def releaseScopedCaches(): Unit = {
+  private def releaseScopedCaches(): Unit =
     graft.queries.Q.releaseScoped()
-    graft.operators.OmniPipeline.releaseStamperCache()
-  }
 }
