@@ -79,8 +79,23 @@ object ScaleGen {
         }, name)
     }
 
-    Seq("region", "nation", "customer", "supplier", "part", "embeddings")
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach(n => write(Tables.t(spark, src, n), n))
+
+    // embeddings is a dimension at gate scales (copied once, like any
+    // real scale-up of a fixed query/codebook set) — but the ANN-family
+    // 1000× probes need the CORPUS to scale. Opt-in: vec_id shifted per
+    // copy so the fixed query set (vec_id < 8, copy 0 only) ranks an
+    // N× candidate set; vectors are kept identical (copies land in the
+    // same LSH/IVF buckets — the worst case for bucket fan-out, which
+    // is exactly what the probe should stress) and ties break on cid.
+    val emb = Tables.t(spark, src, "embeddings")
+    write(
+      if (sys.env.get("SPARK_GRAFT_SCALE_EMBEDDINGS").contains("1"))
+        copies(emb)((d, i) =>
+          d.withColumn("vec_id", col("vec_id") + lit(i * Shift)))
+      else emb,
+      "embeddings")
 
     spark.stop()
   }

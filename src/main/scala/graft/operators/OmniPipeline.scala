@@ -85,6 +85,33 @@ object OmniPipeline {
   /** M4 — reorg as re-derivation: drop facts past the fork, re-run. */
   def truncate(txs: Dataset[RawTx], forkBlock: Long): Dataset[RawTx] =
     txs.filter(_.block <= forkBlock)
+
+  /** Types whose decode is row-local, so a single tx can be repaired
+    * in place — the reference's reparse whitelist (sql.py:12-83
+    * reparsetx_MP handles simple sends, STOs, send-alls, MetaDEx
+    * listings and embeds; state-machine types need a full re-derive).
+    */
+  private val ReparseTypes = Set(0, 3, 4, 25, 200)
+
+  /** M5 — targeted reparse (reference sql.py:12-83 reparsetx_MP): the
+    * node re-serves one tx's corrected payload; repair the ledger
+    * INCREMENTALLY by dropping the tx's old rows and decoding the new
+    * payload at the SAME serial. Valid exactly because the whitelisted
+    * types decode row-locally ([[LedgerDecoder]] statelessness
+    * boundary): no other row's decode reads this tx's state, so
+    * repair ≡ full re-derivation from patched facts — the equivalence
+    * the reparse_tx gate checks against the relational oracle.
+    */
+  def reparseTx(ledger: Dataset[LedgerEntry], targetSerial: Long,
+      corrected: RawTx): Dataset[LedgerEntry] = {
+    require(ReparseTypes.contains(corrected.type_int),
+      s"type ${corrected.type_int} is state-dependent; reparse supports " +
+        s"only row-local types $ReparseTypes — re-derive instead")
+    val spark = ledger.sparkSession
+    import spark.implicits._
+    ledger.filter(_.txDbSerialNum != targetSerial)
+      .union(spark.createDataset(LedgerDecoder.decode(corrected, targetSerial)))
+  }
 }
 
 /** FeatureActivations (reference sql.py:2392-2396 + :1094-1132

@@ -620,7 +620,67 @@ object LedgerQueries {
       .orderBy("pending_id")
   }
 
+  /** M5 — targeted reparse ([[OmniPipeline.reparseTx]], reference
+    * sql.py:12-83 reparsetx_MP): derive the ledger from the original
+    * facts, then repair ONE tx in place — the mid-stream order's
+    * corrected payload changes both its amount (×3+17) and its
+    * recipient (M→M2), so rows must move across addresses, not just
+    * change magnitude. The oracle re-derives from PATCHED facts, so the
+    * gate is exactly the reference's invariant: targeted repair ≡ full
+    * re-derivation.
+    */
+  val reparseTx = Q(
+    "reparse_tx",
+    """WITH o AS (SELECT o_orderkey AS ok, o_custkey AS ck,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS units,
+      |    row_number() OVER (ORDER BY o_orderkey) AS serial
+      |  FROM orders),
+      |cut AS (SELECT (min(ok) + max(ok)) // 2 AS c FROM o),
+      |tgt AS (SELECT max(ok) AS okt FROM o, cut WHERE ok <= c),
+      |p AS (SELECT ok, ck, serial,
+      |    CASE WHEN ok = okt THEN units * 3 + 17 ELSE units END AS units,
+      |    CASE WHEN ok = okt THEN 'M2' ELSE 'M' END AS recv
+      |  FROM o, tgt),
+      |flows AS (
+      |  SELECT 'C' || CAST(ck AS VARCHAR) AS address, -units AS delta,
+      |    serial FROM p
+      |  UNION ALL SELECT recv, units, serial FROM p)
+      |SELECT address, CAST(sum(delta) AS BIGINT) AS available,
+      |  CAST(max(serial) AS BIGINT) AS last_serial
+      |FROM flows GROUP BY 1 ORDER BY address""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val o = t(s, dir, "orders")
+      .select($"o_orderkey".as("ok"), $"o_custkey".as("ck"),
+        round($"o_totalprice" * 100).cast(LongType).as("units"))
+    // point-repair parameters: the mid-stream target tx and its serial
+    // — three pruned scalar aggregates, the shape of a point operation
+    val r = o.agg(min($"ok"), max($"ok")).head()
+    val okT = o.where($"ok" <= (r.getLong(0) + r.getLong(1)) / 2)
+      .agg(max($"ok")).head().getLong(0)
+    val trow = o.where($"ok" === okT).head()
+    val serialT = o.where($"ok" < okT).count() + 1
+    // original derivation (same shape as ledger_simple_send)
+    val stamped = OmniPipeline.stamp(o.as[(Long, Long, Long)], col("ok"))
+    val ledger = stamped.flatMap { case ((ok, ck, units), ser) =>
+      LedgerDecoder.decode(RawTx(txid = f"$ok%016x", protocol = "Omni",
+        sendingaddress = s"C$ck", referenceaddress = Some("M"),
+        type_int = 0, version = 0, valid = true, block = ok,
+        blocktime = 0, positioninblock = 0, propertyid = 31,
+        divisible = false, amount = BigDecimal(units)), ser)
+    }
+    val corrected = RawTx(txid = f"$okT%016x", protocol = "Omni",
+      sendingaddress = s"C${trow.getLong(1)}",
+      referenceaddress = Some("M2"), type_int = 0, version = 0,
+      valid = true, block = okT, blocktime = 0, positioninblock = 0,
+      propertyid = 31, divisible = false,
+      amount = BigDecimal(trow.getLong(2) * 3 + 17))
+    Balances.derive(OmniPipeline.reparseTx(ledger, serialT, corrected))
+      .select($"address", $"available",
+        $"lastTxDbSerialNum".as("last_serial"))
+      .orderBy("address")
+  }
+
   val all: Seq[Q] = Seq(simpleSend, sendAll, stoDecode, dexFold, btcUtxo,
     txStatsDomain, usdValuation, walletServe, addressHistory,
-    consensusHash, freezeFold, pendingReconcile)
+    consensusHash, freezeFold, pendingReconcile, reparseTx)
 }

@@ -214,8 +214,67 @@ object MultimodalQueries {
     }(enc).orderBy("doc_id").toDF()
   }
 
+  /** Format-agnostic decode through the SAME seam — a 100-TB multimodal
+    * corpus is heterogeneous, so the batched partition decode must not
+    * be PNG-shaped: even docs carry PNG, odd docs carry JPEG, and ONE
+    * [[Multimodal.decodeImage]] call sniffs the container from the
+    * bytes (ImageIO reader discovery — the code never sees the parity)
+    * and decodes either. Gated per format at its strongest checkable
+    * level: container format name, exact dimensions (lossless in both
+    * containers), the exact pixel checksum for the lossless PNG, and a
+    * decode-fidelity bool for the lossy JPEG (constant-gray rasters
+    * must round-trip within a DC-quantization tolerance — a stride,
+    * channel or level-shift bug blows far past it).
+    */
+  val decodeMultiformat = Q(
+    "mm_decode_multiformat",
+    """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+      |    8 + (doc_id * 7) % 9 AS h FROM documents),
+      |p AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i
+      |  FROM d WHERE doc_id % 2 = 0),
+      |ps AS (SELECT doc_id,
+      |    CAST(sum((doc_id * 31 + i) % 256) AS BIGINT) AS pix_sum
+      |  FROM p GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CASE WHEN d.doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+      |  CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+      |  TRUE AS decode_ok,
+      |  coalesce(ps.pix_sum, -1) AS pix_sum
+      |FROM d LEFT JOIN ps ON d.doc_id = ps.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id, if (id % 2 == 0) Multimodal.syntheticPng(id)
+        else Multimodal.syntheticJpeg(id)))
+      .toDF("doc_id", "img")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("fmt", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("pix_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    blobs.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val (fmt, w, h, px) = Multimodal.decodeImage(r.getAs[Array[Byte]](1))
+        val (ok, sum) =
+          if (fmt == "png") (true, px.map(_.toLong).sum)
+          else {
+            // constant-gray JPEG must decode within DC-quantization
+            // error of the generator's value; dims stay exact
+            val g = ((id * 31) % 256).toInt
+            (px.forall(p => math.abs(p - g) <= 8), -1L)
+          }
+        Row(id, fmt, w, h, ok, sum)
+      }
+    }(enc).orderBy("doc_id").toDF()
+  }
+
   val all: Seq[Q] = Seq(binaryMeta, decodeBatch, frameSample, resize,
-    audioStats)
+    audioStats, decodeMultiformat)
 }
 
 /** The decode seam for multimodal blobs — a REAL pure-JVM image codec
@@ -271,6 +330,61 @@ object Multimodal {
       y += 1
     }
     (w, h, sum)
+  }
+
+  /** Deterministic CONSTANT-gray test image for doc `id` — same
+    * doc_id-derived dimensions as [[syntheticPng]], every pixel
+    * gray = (id·31) mod 256 — encoded as real baseline JPEG bytes.
+    * Constant rasters survive the lossy round trip to within DC
+    * quantization error (each 8×8 block is DC-only), which is what the
+    * multiformat gate's fidelity bool checks.
+    */
+  def syntheticJpeg(id: Long): Array[Byte] = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + (id * 7) % 9).toInt
+    val g = ((id * 31) % 256).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      raster.setSample(i % w, i / w, 0, g)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Decode ANY supported image container: the reader is discovered
+    * from the BYTES (ImageIO stream sniffing), never from a caller
+    * hint — the same seam handles PNG, JPEG, or any other registered
+    * container, which is what makes the batched decode stage
+    * format-agnostic. Returns (container format name, width, height,
+    * row-major gray samples).
+    */
+  def decodeImage(blob: Array[Byte]): (String, Int, Int, Array[Int]) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    require(readers.hasNext, "no ImageIO reader recognizes this container")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val fmt = reader.getFormatName.toLowerCase
+      val img = reader.read(0)
+      val raster = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      (fmt, w, h, px)
+    } finally reader.dispose()
   }
 
   final case class WavStats(nSamples: Long, sampleRate: Long, peak: Long,

@@ -311,6 +311,364 @@ object PipelineQueries {
       .orderBy("walletId", "address")
   }
 
+  /** Mixed-type end-to-end flagship — the reference main loop
+    * (omniEngine.py:109-232) where ALL tx-type state machines share one
+    * serial stream, as a single derivation: raw JSON interleaving types
+    * 0 / 3 / 4 / 20 / 22 / −22 / 50 / 51 / −51 / 53 / 185 is
+    * schema-parsed, stamped by the W1 range-partition stamper, and
+    * driven through the REAL [[OmniPipeline.derive]] — full
+    * LedgerDecoder dispatch, DexLifecycle order-book fold, property
+    * registry, freeze-aware balance sequencer — into the J9 wallet
+    * serving view with fiat valuation and registry name lookup, all in
+    * one plan. The oracle composes every type's relational form over
+    * the SAME serial arithmetic, so a cross-operator ordering bug
+    * (e.g. a freeze applied after a credit it should precede, or an
+    * accept clamped against the wrong offer state) flips the hash even
+    * when each operator is individually correct.
+    *
+    * Stream construction (all from orders/customer/nation; one tx per
+    * order plus a small admin prologue/epilogue):
+    *  - prologue per nation n: 50 issuance (pid 100+n), 51 crowdsale
+    *    create (pid 200+n), 185 freeze of F&lt;n&gt; on pid 100+n (so ALL
+    *    later credits land in `frozen`), 20 DEx offer by S&lt;n&gt; sized
+    *    to its buyers' max want (sellers without buyers offer 1);
+    *  - per order, by o_orderkey mod 10: simple sends to the market
+    *    maker (0,1,2,8,9), a send INTO the frozen address (3), a
+    *    send-all subsend (4), an STO with two recipients (5), a DEx
+    *    accept toward S&lt;custkey mod 25&gt; (6 — only a buyer's FIRST
+    *    accept can bind, later ones are invalid while it is open), a
+    *    crowdsale purchase (7);
+    *  - epilogue: −22 BTC payments settling the EVEN-custkey accepts
+    *    (odd ones stay open as `accepted` holds), then 53 closes
+    *    crediting addedissuertokens.
+    * The DEx leg reuses the dex_lifecycle_fold closed form (one offer
+    * per seller before all accepts ⇒ got = Δ least(cum want, offer)).
+    */
+  val e2eIngestFull = Q(
+    "e2e_ingest_full",
+    """WITH o AS (SELECT o_orderkey AS ok, o_custkey AS ck,
+      |    o_orderkey % 10 AS m,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS amt,
+      |    row_number() OVER (ORDER BY o_orderkey) AS r
+      |  FROM orders),
+      |dims AS (SELECT CAST(count(*) AS BIGINT) AS o_n FROM o),
+      |nn AS (SELECT CAST(n_nationkey AS BIGINT) AS nk FROM nation),
+      |acc0 AS (SELECT ck, ok, amt, r,
+      |    row_number() OVER (PARTITION BY ck ORDER BY ok) AS rn
+      |  FROM o WHERE m = 6),
+      |acc AS (SELECT ck, ck % 25 AS nk, ok, amt AS want, r
+      |  FROM acc0 WHERE rn = 1),
+      |offr AS (SELECT nn.nk, coalesce(max(a.want), 1) AS oamt
+      |  FROM nn LEFT JOIN acc a ON a.nk = nn.nk GROUP BY nn.nk),
+      |accg AS (SELECT a.ck, a.nk, a.r, a.want,
+      |    least(sum(a.want) OVER w, f.oamt)
+      |      - least(sum(a.want) OVER w - a.want, f.oamt) AS got
+      |  FROM acc a JOIN offr f ON a.nk = f.nk
+      |  WINDOW w AS (PARTITION BY a.nk ORDER BY a.ok
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |pur AS (SELECT ck, nk, got, row_number() OVER (ORDER BY ck) AS j
+      |  FROM accg WHERE ck % 2 = 0),
+      |np AS (SELECT CAST(count(*) AS BIGINT) AS p_n FROM pur),
+      |flows AS (
+      |  SELECT 'I' || CAST(nk AS VARCHAR) AS address, 100 + nk AS pid,
+      |    CAST(1000000000000 AS BIGINT) AS da, 0 AS dr, 0 AS dacc,
+      |    0 AS df, 1 + nk AS serial FROM nn
+      |  UNION ALL SELECT 'I' || CAST(nk AS VARCHAR), 200 + nk,
+      |    0, 0, 0, 0, 26 + nk FROM nn
+      |  UNION ALL SELECT 'F' || CAST(nk AS VARCHAR), 100 + nk,
+      |    0, 0, 0, 0, 51 + nk FROM nn
+      |  UNION ALL SELECT 'S' || CAST(nk AS VARCHAR), 31,
+      |    -oamt, oamt, 0, 0, 76 + nk FROM offr
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 31, -amt, 0, 0, 0,
+      |    100 + r FROM o WHERE m IN (0,1,2,8,9)
+      |  UNION ALL SELECT 'MKT', 31, amt, 0, 0, 0, 100 + r
+      |    FROM o WHERE m IN (0,1,2,8,9)
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 100 + ck % 25,
+      |    -amt, 0, 0, 0, 100 + r FROM o WHERE m = 3
+      |  UNION ALL SELECT 'F' || CAST(ck % 25 AS VARCHAR), 100 + ck % 25,
+      |    0, 0, 0, amt, 100 + r FROM o WHERE m = 3
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 32, -amt, 0, 0, 0,
+      |    100 + r FROM o WHERE m = 4
+      |  UNION ALL SELECT 'POOL', 32, amt, 0, 0, 0, 100 + r
+      |    FROM o WHERE m = 4
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 31, -amt, 0, 0, 0,
+      |    100 + r FROM o WHERE m = 5
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 1, 0, 0, 0, 0,
+      |    100 + r FROM o WHERE m = 5
+      |  UNION ALL SELECT 'R0', 31, amt // 2, 0, 0, 0, 100 + r
+      |    FROM o WHERE m = 5
+      |  UNION ALL SELECT 'R1', 31, amt - amt // 2, 0, 0, 0, 100 + r
+      |    FROM o WHERE m = 5
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 31, 0, 0, 0, 0,
+      |    100 + r FROM accg WHERE got > 0
+      |  UNION ALL SELECT 'S' || CAST(nk AS VARCHAR), 31, 0, 0, got, 0,
+      |    100 + r FROM accg WHERE got > 0
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 31, -amt, 0, 0, 0,
+      |    100 + r FROM o WHERE m = 7
+      |  UNION ALL SELECT 'I' || CAST(ck % 25 AS VARCHAR), 31, amt,
+      |    0, 0, 0, 100 + r FROM o WHERE m = 7
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 200 + ck % 25,
+      |    2 * amt, 0, 0, 0, 100 + r FROM o WHERE m = 7
+      |  UNION ALL SELECT 'I' || CAST(ck % 25 AS VARCHAR), 200 + ck % 25,
+      |    amt // 10, 0, 0, 0, 100 + r FROM o WHERE m = 7
+      |  UNION ALL SELECT 'S' || CAST(nk AS VARCHAR), 31, 0, -got, -got,
+      |    0, o_n + 100 + j FROM pur, dims WHERE got > 0
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 31, got, 0, 0, 0,
+      |    o_n + 100 + j FROM pur, dims WHERE got > 0
+      |  UNION ALL SELECT 'I' || CAST(nk AS VARCHAR), 200 + nk, 1000,
+      |    0, 0, 0, o_n + p_n + 101 + nk FROM nn, dims, np),
+      |bal AS (SELECT address, CAST(pid AS BIGINT) AS propertyId,
+      |    CAST(sum(da) AS BIGINT) AS available,
+      |    CAST(sum(dr) AS BIGINT) AS reserved,
+      |    CAST(sum(dacc) AS BIGINT) AS accepted,
+      |    CAST(sum(df) AS BIGINT) AS frozen,
+      |    CAST(max(serial) AS BIGINT) AS last_serial
+      |  FROM flows GROUP BY 1, 2),
+      |wallets AS (
+      |  SELECT 'C' || CAST(c_custkey AS VARCHAR) AS address,
+      |    'W' || CAST(c_nationkey AS VARCHAR) AS walletId FROM customer
+      |  UNION ALL SELECT 'I' || CAST(nk AS VARCHAR), 'WI' FROM nn
+      |  UNION ALL SELECT 'S' || CAST(nk AS VARCHAR), 'WS' FROM nn
+      |  UNION ALL SELECT 'F' || CAST(nk AS VARCHAR), 'WF' FROM nn
+      |  UNION ALL SELECT 'MKT', 'WX' UNION ALL SELECT 'POOL', 'WX'
+      |  UNION ALL SELECT 'R0', 'WR' UNION ALL SELECT 'R1', 'WR')
+      |SELECT w.walletId, b.address, b.propertyId, b.available,
+      |  b.reserved, b.accepted, b.frozen,
+      |  b.address LIKE 'F%' AND b.propertyId BETWEEN 100 AND 199
+      |    AS frozen_flag,
+      |  b.last_serial,
+      |  CAST(CASE WHEN b.propertyId = 31 THEN b.available * 2.5
+      |            WHEN b.propertyId = 32 THEN b.available * 1.5
+      |            ELSE 0.0 END AS DOUBLE) AS availableValue,
+      |  CASE WHEN b.propertyId >= 100
+      |       THEN 'P' || CAST(b.propertyId AS VARCHAR)
+      |       ELSE '' END AS property_name
+      |FROM bal b JOIN wallets w ON b.address = w.address
+      |ORDER BY w.walletId, b.address, b.propertyId""".stripMargin) {
+    (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.OmniPipeline
+    import graft.serving.WalletViews
+
+    val Supply = 1000000000000L
+    val nn = t(s, dir, "nation")
+      .select($"n_nationkey".cast(LongType).as("nk"))
+    val o = t(s, dir, "orders").select(
+      $"o_orderkey".as("ok"), $"o_custkey".as("ck"),
+      ($"o_orderkey" % 10).as("m"),
+      round($"o_totalprice" * 100).cast(LongType).as("amt"))
+    // a buyer's FIRST accept (per-key window, never single-partition)
+    val acc = o.where($"m" === 6)
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"ck").orderBy($"ok")))
+      .where($"rn" === 1)
+      .select($"ck", ($"ck" % 25).as("nk"), $"amt".as("want"))
+    val offr = nn
+      .join(acc.groupBy($"nk").agg(max($"want").as("mw")), Seq("nk"), "left")
+      .select($"nk", coalesce($"mw", lit(1L)).as("oamt"))
+    // Epilogue block numbering needs two scalars (like the tip polls
+    // elsewhere): a 2-long aggregate read, not a data-path collect.
+    val dimRow = o.agg(max($"ok"), max($"ck")).head()
+    val purBase = dimRow.getLong(0) + 200L
+    val closeBase = purBase + dimRow.getLong(1) + 1L
+    val tip = closeBase + 1000L
+
+    // --- raw JSON legs (ingestion stand-in: in production these lines
+    // are the node's RPC payloads; only they change) ---
+    val j50 = nn.select(to_json(struct(
+      concat(lit("is-"), $"nk").as("txid"), lit(50).as("type_int"),
+      concat(lit("I"), $"nk").as("sendingaddress"),
+      lit(true).as("valid"), lit(1L).as("block"),
+      $"nk".cast(IntegerType).as("positioninblock"),
+      ($"nk" + 100).as("propertyid"), lit(Supply).as("amount"),
+      concat(lit("P"), $"nk" + 100).as("propertyname"))).as("payload"))
+    val j51 = nn.select(to_json(struct(
+      concat(lit("cs-"), $"nk").as("txid"), lit(51).as("type_int"),
+      concat(lit("I"), $"nk").as("sendingaddress"),
+      lit(true).as("valid"), lit(2L).as("block"),
+      $"nk".cast(IntegerType).as("positioninblock"),
+      ($"nk" + 200).as("propertyid"), lit(0L).as("amount"),
+      concat(lit("P"), $"nk" + 200).as("propertyname"))).as("payload"))
+    val j185 = nn.select(to_json(struct(
+      concat(lit("fz-"), $"nk").as("txid"), lit(185).as("type_int"),
+      concat(lit("I"), $"nk").as("sendingaddress"),
+      concat(lit("F"), $"nk").as("referenceaddress"),
+      lit(true).as("valid"), lit(3L).as("block"),
+      $"nk".cast(IntegerType).as("positioninblock"),
+      lit(0L).as("propertyid"), lit(0L).as("amount"),
+      // P5 hex payload: [8:16] carries the frozen property id
+      concat(lit("00000000"), lpad(hex($"nk" + 100), 8, "0"))
+        .as("payload"))).as("payload"))
+    val j20 = offr.select(to_json(struct(
+      concat(lit("of-"), $"nk").as("txid"), lit(20).as("type_int"),
+      concat(lit("S"), $"nk").as("sendingaddress"),
+      lit(true).as("valid"), lit(4L).as("block"),
+      $"nk".cast(IntegerType).as("positioninblock"),
+      lit(31L).as("propertyid"), $"oamt".as("amount"),
+      lit(1).as("subaction"), lit(1L).as("bitcoindesired"),
+      // far beyond any sweep's block range (ScaleGen shifts keys by
+      // 1e12 per copy), so no accept ever expires mid-stream
+      lit(1000000000000000000L).as("timelimit"))).as("payload"))
+    val jsend = o.where($"m".isin(0, 1, 2, 8, 9)).select(to_json(struct(
+      concat(lit("tx-"), $"ok").as("txid"), lit(0).as("type_int"),
+      concat(lit("C"), $"ck").as("sendingaddress"),
+      lit("MKT").as("referenceaddress"), lit(true).as("valid"),
+      ($"ok" + 100).as("block"), lit(0).as("positioninblock"),
+      lit(31L).as("propertyid"), $"amt".as("amount"))).as("payload"))
+    val jfrz = o.where($"m" === 3).select(to_json(struct(
+      concat(lit("tx-"), $"ok").as("txid"), lit(0).as("type_int"),
+      concat(lit("C"), $"ck").as("sendingaddress"),
+      concat(lit("F"), $"ck" % 25).as("referenceaddress"),
+      lit(true).as("valid"),
+      ($"ok" + 100).as("block"), lit(0).as("positioninblock"),
+      (($"ck" % 25) + 100).as("propertyid"),
+      $"amt".as("amount"))).as("payload"))
+    val jall = o.where($"m" === 4).select(to_json(struct(
+      concat(lit("tx-"), $"ok").as("txid"), lit(4).as("type_int"),
+      concat(lit("C"), $"ck").as("sendingaddress"),
+      lit("POOL").as("referenceaddress"), lit(true).as("valid"),
+      ($"ok" + 100).as("block"), lit(0).as("positioninblock"),
+      lit(0L).as("propertyid"), lit(0L).as("amount"),
+      array(struct(lit(32L).as("propertyid"), $"amt".as("amount")))
+        .as("subsends"))).as("payload"))
+    val jsto = o.where($"m" === 5).select(to_json(struct(
+      concat(lit("tx-"), $"ok").as("txid"), lit(3).as("type_int"),
+      concat(lit("C"), $"ck").as("sendingaddress"),
+      lit(true).as("valid"),
+      ($"ok" + 100).as("block"), lit(0).as("positioninblock"),
+      lit(31L).as("propertyid"), $"amt".as("amount"),
+      lit(0L).as("totalstofee"),
+      array(
+        struct(lit("R0").as("address"), expr("amt div 2").as("amount")),
+        struct(lit("R1").as("address"),
+          ($"amt" - expr("amt div 2")).as("amount")))
+        .as("recipients"))).as("payload"))
+    val jacc = o.where($"m" === 6).select(to_json(struct(
+      concat(lit("tx-"), $"ok").as("txid"), lit(22).as("type_int"),
+      concat(lit("C"), $"ck").as("sendingaddress"),
+      concat(lit("S"), $"ck" % 25).as("referenceaddress"),
+      lit(true).as("valid"),
+      ($"ok" + 100).as("block"), lit(0).as("positioninblock"),
+      lit(31L).as("propertyid"), $"amt".as("amount"))).as("payload"))
+    val jcrowd = o.where($"m" === 7).select(to_json(struct(
+      concat(lit("tx-"), $"ok").as("txid"), lit(-51).as("type_int"),
+      concat(lit("C"), $"ck").as("sendingaddress"),
+      concat(lit("I"), $"ck" % 25).as("referenceaddress"),
+      lit(true).as("valid"),
+      ($"ok" + 100).as("block"), lit(0).as("positioninblock"),
+      lit(31L).as("propertyid"), $"amt".as("amount"),
+      (($"ck" % 25) + 200).as("purchasedpropertyid"),
+      ($"amt" * 2).as("purchasedtokens"),
+      expr("amt div 10").as("issuertokens"))).as("payload"))
+    val jpur = acc.where($"ck" % 2 === 0).select(to_json(struct(
+      concat(lit("bp-"), $"ck").as("txid"), lit(-22).as("type_int"),
+      concat(lit("C"), $"ck").as("sendingaddress"),
+      lit(true).as("valid"),
+      (lit(purBase) + $"ck").as("block"), lit(0).as("positioninblock"),
+      lit(31L).as("propertyid"), lit(0L).as("amount"),
+      // pay the full want: the fold clamps to the open accept's hold,
+      // so the settled amount is exactly `got` without computing it here
+      array(struct(concat(lit("S"), $"nk").as("referenceaddress"),
+        lit(31L).as("propertyid"), $"want".as("amountbought")))
+        .as("purchases"))).as("payload"))
+    val jclose = nn.select(to_json(struct(
+      concat(lit("cl-"), $"nk").as("txid"), lit(53).as("type_int"),
+      concat(lit("I"), $"nk").as("sendingaddress"),
+      lit(true).as("valid"),
+      (lit(closeBase) + $"nk").as("block"), lit(0).as("positioninblock"),
+      ($"nk" + 200).as("propertyid"), lit(0L).as("amount"),
+      lit(1000L).as("addedissuertokens"))).as("payload"))
+
+    val raw = Seq(j50, j51, j185, j20, jsend, jfrz, jall, jsto, jacc,
+      jcrowd, jpur, jclose).reduce(_ unionByName _)
+
+    // S2: one schema'd JacksonParser pass over the union
+    val parsed = raw
+      .select(from_json($"payload",
+        org.apache.spark.sql.Encoders.product[JTx].schema).as("tx"))
+      .select($"tx.*").as[JTx]
+    val txs = parsed.map { j =>
+      RawTx(txid = j.txid, protocol = "Omni",
+        sendingaddress = j.sendingaddress,
+        referenceaddress = j.referenceaddress, type_int = j.type_int,
+        version = 0, valid = j.valid, block = j.block, blocktime = 0,
+        positioninblock = j.positioninblock, propertyid = j.propertyid,
+        divisible = false, amount = BigDecimal(j.amount),
+        totalstofee = BigDecimal(j.totalstofee.getOrElse(0L)),
+        recipients = j.recipients.getOrElse(Nil)
+          .map(r => StoRecipient(r.address, BigDecimal(r.amount))),
+        subsends = j.subsends.getOrElse(Nil)
+          .map(ss => SubSend(ss.propertyid, divisible = false,
+            BigDecimal(ss.amount))),
+        subaction = j.subaction.getOrElse(0),
+        bitcoindesired = BigDecimal(j.bitcoindesired.getOrElse(0L)),
+        timelimit = j.timelimit.getOrElse(0L),
+        purchases = j.purchases.getOrElse(Nil)
+          .map(p => DexPurchase(p.referenceaddress, p.propertyid,
+            valid = true, BigDecimal(p.amountbought), divisible = false)),
+        propertyname = j.propertyname.getOrElse(""),
+        purchasedpropertyid = j.purchasedpropertyid.getOrElse(0L),
+        purchaseddivisible = false,
+        purchasedtokens = BigDecimal(j.purchasedtokens.getOrElse(0L)),
+        issuertokens = BigDecimal(j.issuertokens.getOrElse(0L)),
+        addedissuertokens = BigDecimal(j.addedissuertokens.getOrElse(0L)),
+        payload = j.payload.getOrElse(""))
+    }
+
+    // the full pipeline: stamper → decoder/DEx/registry/freeze → balances
+    val d = OmniPipeline.derive(txs, tip)
+    val balances = d.balances.transform(Q.persistScoped)
+    // EAGER: the serving view and the per-key detail both consume
+    // balances; unpersisted, the whole stamp+fold chain runs twice.
+    balances.count()
+    val wallets = t(s, dir, "customer")
+      .select(concat(lit("C"), $"c_custkey").as("address"),
+        concat(lit("W"), $"c_nationkey").as("walletId"))
+      .unionByName(nn.select(concat(lit("I"), $"nk").as("address"),
+        lit("WI").as("walletId")))
+      .unionByName(nn.select(concat(lit("S"), $"nk").as("address"),
+        lit("WS").as("walletId")))
+      .unionByName(nn.select(concat(lit("F"), $"nk").as("address"),
+        lit("WF").as("walletId")))
+      .unionByName(Seq(("MKT", "WX"), ("POOL", "WX"), ("R0", "WR"),
+        ("R1", "WR")).toDF("address", "walletId"))
+    val rates = s.createDataset(Seq(
+      RatesEtl.Rate("Omni", 31L, "Fiat", 1L, 2.5, 1000L, "fix"),
+      RatesEtl.Rate("Omni", 32L, "Fiat", 1L, 1.5, 1000L, "fix")))
+    val served = WalletViews.walletBalances(balances, wallets, rates)
+    val detail = balances.select($"address", $"propertyId",
+      $"accepted", $"frozen", $"frozenFlag".as("frozen_flag"),
+      $"lastTxDbSerialNum".as("last_serial"))
+    WalletViews.withPropertyNames(
+        served.join(detail, Seq("address", "propertyId")), d.properties)
+      .select($"walletId", $"address", $"propertyId", $"available",
+        $"reserved", $"accepted", $"frozen", $"frozen_flag",
+        $"last_serial", $"availableValue",
+        coalesce($"propertyName", lit("")).as("property_name"))
+      .orderBy("walletId", "address", "propertyId")
+  }
+
   val all: Seq[Q] = Seq(featureActivations, embed200, ratesParse,
-    ratesHistory, resetFromSnapshot, e2eIngest)
+    ratesHistory, resetFromSnapshot, e2eIngest, e2eIngestFull)
 }
+
+/** JSON shape of one ingested tx for the mixed-type e2e flagship — the
+  * union of the per-type RPC fields the stream carries (FIXTURES.md
+  * B.1); absent fields parse as null and default in the RawTx mapping.
+  */
+final case class JRec(address: String, amount: Long)
+final case class JSub(propertyid: Long, amount: Long)
+final case class JPur(referenceaddress: String, propertyid: Long,
+    amountbought: Long)
+final case class JTx(
+    txid: String, type_int: Int, sendingaddress: String,
+    referenceaddress: Option[String], valid: Boolean, block: Long,
+    positioninblock: Int, propertyid: Long, amount: Long,
+    propertyname: Option[String], payload: Option[String],
+    subaction: Option[Int], bitcoindesired: Option[Long],
+    timelimit: Option[Long], totalstofee: Option[Long],
+    purchasedpropertyid: Option[Long], purchasedtokens: Option[Long],
+    issuertokens: Option[Long], addedissuertokens: Option[Long],
+    recipients: Option[Seq[JRec]], subsends: Option[Seq[JSub]],
+    purchases: Option[Seq[JPur]])

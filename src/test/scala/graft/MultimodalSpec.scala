@@ -77,6 +77,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(st.sumAbs == 12000L)
   }
 
+  test("decodeImage sniffs the container and decodes both formats") {
+    // the SAME seam, no format hint: synthetic PNG decodes exactly,
+    // synthetic JPEG within DC-quantization tolerance
+    (1L to 50L).foreach { id =>
+      val (pfmt, pw, ph, ppx) = Multimodal.decodeImage(
+        Multimodal.syntheticPng(id))
+      assert(pfmt == "png")
+      val w = (8 + id % 9).toInt; val h = (8 + (id * 7) % 9).toInt
+      assert((pw, ph) == ((w, h)))
+      assert(ppx.map(_.toLong).sum ==
+        (0 until w * h).map(i => (id * 31 + i) % 256).sum)
+      val (jfmt, jw, jh, jpx) = Multimodal.decodeImage(
+        Multimodal.syntheticJpeg(id))
+      assert(jfmt == "jpeg")
+      assert((jw, jh) == ((w, h)))
+      val g = ((id * 31) % 256).toInt
+      assert(jpx.forall(p => math.abs(p - g) <= 8),
+        s"id=$id g=$g worst=${jpx.map(p => math.abs(p - g)).max}")
+    }
+  }
+
+  test("decodeImage handles a foreign JPEG (explicit low quality, non-synthetic encoder path)") {
+    // encode a constant 16x16 raster at quality 0.5 through the raw
+    // ImageWriter API — different code path and quant tables than
+    // syntheticJpeg's ImageIO.write default
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 256).foreach(i => img.getRaster.setSample(i % 16, i / 16, 0, 99))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(0.5f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    writer.dispose(); ios.close()
+    val (fmt, w, h, px) = Multimodal.decodeImage(bos.toByteArray)
+    assert(fmt == "jpeg" && w == 16 && h == 16)
+    assert(px.forall(p => math.abs(p - 99) <= 8),
+      s"worst=${px.map(p => math.abs(p - 99)).max}")
+  }
+
   test("resizeNN upsamples a foreign image (2x2 -> 4x4 block replication)") {
     val img = new java.awt.image.BufferedImage(2, 2,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
