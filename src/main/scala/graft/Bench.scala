@@ -95,10 +95,14 @@ object Bench {
     // min is ALSO recorded in BENCH_DETAIL so a reader can separate
     // box-variance drift (min flat, median up) from a real plan
     // regression (both up) without re-running.
+    // SPARK_GRAFT_RUNS=1 → single-run probe mode (the 1000× protocol:
+    // one run is minutes; box variance is dwarfed by the decade signal)
+    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val runTimes: Seq[(String, Seq[Double])] = firstPass.map {
-      case (n, _, (t, true)) if t < 1.0 => n -> Seq(t)
+      case (n, _, (t, true)) if t < 1.0 || maxRuns <= 1 => n -> Seq(t)
       case (n, fn, (t, true)) =>
-        val extra = Seq(timed(fn), timed(fn)).collect { case (t2, true) => t2 }
+        val extra = Seq.fill(maxRuns - 1)(timed(fn))
+          .collect { case (t2, true) => t2 }
         n -> (t +: extra)
       case (n, _, (_, false)) => n -> Seq.empty[Double]
     }

@@ -93,7 +93,17 @@ object LedgerQueries {
       // spilling shuffle for bytes the output never observes). No global
       // stamper either: serials are not observed by this output, and the
       // order key is already unique and monotone.
-      val ledger = items.flatMap { case (ok, ck, pk, units) =>
+      //
+      // The balance aggregation is keyed NUMERICALLY: the decoder runs
+      // per joined row (validity gating, debit/credit pairing — the
+      // gate's subject), but what crosses the agg exchange is
+      // (ckey, pid, delta) long triples, with the sender/recipient
+      // address strings rebuilt from ckey AFTER the aggregate — so the
+      // one unavoidable wide shuffle of this plan carries 24-byte rows,
+      // not UTF8 addresses + four unused delta columns. ckey = −1 is
+      // the warehouse recipient (decode addresses it "W"); customer
+      // keys are ≥ 1, so the sentinel cannot collide.
+      val deltas = items.flatMap { case (ok, ck, pk, units) =>
         LedgerDecoder.decode(RawTx(txid = f"$ok%016x", protocol = "Omni",
           sendingaddress = s"C$ck", referenceaddress = Some("W"),
           type_int = 4, version = 0, valid = true, block = ok,
@@ -101,9 +111,14 @@ object LedgerQueries {
           divisible = false, amount = 0,
           subsends = Seq(SubSend(pk, divisible = false,
             BigDecimal(units)))), ok)
-      }
-      Balances.derive(ledger)
-        .select($"address", $"propertyId".as("property_id"), $"available")
+          .map(e => (if (e.address == "W") -1L else ck,
+            e.propertyId, e.availableDelta))
+      }.toDF("ckey", "property_id", "delta")
+      deltas.groupBy($"ckey", $"property_id")
+        .agg(sum($"delta").cast(LongType).as("available"))
+        .select(when($"ckey" === -1L, lit("W"))
+            .otherwise(concat(lit("C"), $"ckey")).as("address"),
+          $"property_id", $"available")
         .orderBy("address", "property_id")
   }
 

@@ -176,4 +176,29 @@ class OmniPipelineSpec extends SparkTestBase {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "stamper caches must not survive release")
   }
+
+  test("M5 reparse: in-place repair == re-derivation; state-dependent types refused") {
+    import graft.operators.LedgerDecoder
+    val stamped = OmniPipeline.withSerials(spark.createDataset(chain))
+    val ledger = stamped.flatMap { case (tx, s) => LedgerDecoder.decode(tx, s) }
+    // tx 4 (block 3 pos 1) is the A→C simple send of 1; the node
+    // re-serves it as A→D of 2.5 — repair must equal deriving from the
+    // patched chain, including rows MOVING to a different address
+    val corrected = simpleSend(A, D, BigDecimal("2.5"), block = 3, pos = 1)
+    val repaired = OmniPipeline.reparseTx(ledger, targetSerial = 4L, corrected)
+    val patched = chain.updated(3, corrected)
+    val fresh = OmniPipeline.withSerials(spark.createDataset(patched))
+      .flatMap { case (tx, s) => LedgerDecoder.decode(tx, s) }
+    def canon(ds: org.apache.spark.sql.Dataset[LedgerEntry]) =
+      ds.collect().sortBy(e => (e.txDbSerialNum, e.address, e.propertyId)).toSeq
+    assert(canon(repaired) == canon(fresh))
+    // a DEx offer is order-dependent state — reparse must refuse it
+    val offer = sellOffer(B, BigDecimal("1"), BigDecimal("1"),
+      timeLimit = 10, block = 3, pos = 1)
+    val e = intercept[IllegalArgumentException] {
+      OmniPipeline.reparseTx(ledger, 4L, offer)
+    }
+    assert(e.getMessage.contains("state-dependent"))
+    graft.queries.Q.releaseScoped()
+  }
 }

@@ -222,6 +222,19 @@ class PlanSpec extends SparkTestBase {
     releaseScopedCaches()
   }
 
+  test("e2e ingest full: mixed-type derivation broadcasts its dims; no single-partition exchange") {
+    val p = plan(graft.queries.PipelineQueries.e2eIngestFull)
+    // rates (2 rows) and the registry name dim must broadcast into the
+    // serving joins; the eleven-type union + stamper + folds must never
+    // collapse the stream to one partition — the whole point of gating
+    // the reference main loop as ONE plan is that its scale shape is
+    // inspectable here
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2, p)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in e2e ingest full:\n$p")
+    releaseScopedCaches()
+  }
+
   test("s8 sink roundtrip: read-back joins the metadata-scale file stats broadcast") {
     val p = plan(graft.queries.SourceQueries.sinkRoundtrip)
     assert(p.contains("BroadcastHashJoin"), p)
