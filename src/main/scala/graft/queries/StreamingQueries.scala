@@ -165,5 +165,142 @@ object StreamingQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(balancesEquiv, sessionsEquiv)
+  /** Streaming tumbling-window tx stats (watermark + event-time window,
+    * §2.9) ≡ the relational per-hour aggregate. Update mode emits one
+    * row per touched window per micro-batch, so `n_updates` per window
+    * must equal the number of time-range batches that contained events
+    * of that window — the cadence pin, like balancesEquiv. The replay
+    * is time-ordered, so the 1-day watermark never drops a row; window
+    * finals are the max-txCount update (txCount grows monotonically —
+    * a window only re-emits when it absorbed rows).
+    */
+  val txStatsEquiv = Q(
+    "streaming_txstats_equiv",
+    """WITH e AS (SELECT event_id,
+      |    CAST(epoch_us(ts) // 1000 AS BIGINT) * 1000 AS us,
+      |    event_type <> 'error' AS valid,
+      |    CAST(round(value * 100) AS BIGINT) AS units FROM events),
+      |m AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+      |b AS (SELECT e.*, least(3, ((us - mn) * 4) // (mx - mn + 1)) AS batch,
+      |    (us // 3600000000) * 3600000000 AS win_us FROM e, m)
+      |SELECT win_us, count(*) AS tx_count,
+      |  count(CASE WHEN valid THEN 1 END) AS valid_count,
+      |  CAST(sum(CASE WHEN valid THEN units END) AS BIGINT) AS valid_units,
+      |  count(DISTINCT batch) AS n_updates
+      |FROM b GROUP BY win_us ORDER BY win_us""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = t(s, dir, "events")
+      .select($"event_id",
+        ((unix_micros($"ts") / 1000) * 1000).cast(LongType).as("us"),
+        ($"event_type" =!= "error").as("valid"),
+        round($"value" * 100).cast(LongType).as("units"))
+      .as[(Long, Long, Boolean, Long)].collect().sortBy(r => (r._2, r._1))
+    val (mn, mx) = (rows.head._2, rows.last._2)
+    val name = "stq_" + java.util.UUID.randomUUID().toString.take(8)
+      .replace("-", "")
+    val source = MemoryStream[TxStatRow]
+    // 8 state-store partitions at replay scale — see balancesEquiv.
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try graft.streaming.StreamingTxStats.run(source.toDS().toDF(), name)
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    try {
+      (0L to 3L).foreach { b =>
+        val batch = rows.iterator.filter(r => batchOf(r._2, mn, mx) == b)
+          .map { case (_, us, valid, units) =>
+            TxStatRow(new java.sql.Timestamp(us / 1000), valid, units)
+          }.toSeq
+        if (batch.nonEmpty) {
+          source.addData(batch)
+          query.processAllAvailable()
+        }
+      }
+      s.table(name)
+        .groupBy($"windowStart")
+        .agg(max_by(struct($"txCount", $"validCount", $"validUnits"),
+          $"txCount").as("f"),
+          count(lit(1)).as("n_updates"))
+        .select(unix_micros($"windowStart").as("win_us"),
+          $"f.txCount".as("tx_count"), $"f.validCount".as("valid_count"),
+          $"f.validUnits".as("valid_units"), $"n_updates")
+        .orderBy("win_us")
+    } finally {
+      query.stop()
+      s.catalog.dropTempView(name)
+    }
+  }
+
+  /** Streaming exact dedup (`dropDuplicatesWithinWatermark`) ≡ batch
+    * exact dedup over the dedup_exact planted corpus (every 10th doc
+    * re-delivered as an exact copy at id+200000). The gate is keyed by
+    * CONTENT hash with `n_emitted` per hash: exactly one row must come
+    * out per distinct content — no duplicate emission, no content lost —
+    * regardless of which copy survives an intra-batch race (keeper
+    * identity is pinned by the batch twin `dedup_exact`; this gate pins
+    * the streaming state machine's exactly-once-per-key contract).
+    * Synthetic event times span < 1 h, so within the 1 h lateness
+    * horizon nothing is ever late-dropped and every re-delivery is
+    * suppressed by live state (bounded-state EVICTION past the horizon
+    * is `StreamingDedupSpec`'s subject).
+    */
+  val dedupEquiv = Q(
+    "streaming_dedup_equiv",
+    """WITH corpus AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 0)
+      |SELECT md5(trim(lower(text))) AS content_hash,
+      |  CAST(1 AS BIGINT) AS n_emitted
+      |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    val planted = (docs ++ docs.filter(_._1 % 10 == 0)
+      .map { case (id, txt) => (id + 200000, txt) }).sortBy(_._1)
+    val base = 1600000000000L // synthetic epoch; only relative time matters
+    val n = planted.length
+    val name = "sdq_" + java.util.UUID.randomUUID().toString.take(8)
+      .replace("-", "")
+    val source = MemoryStream[DedupDoc]
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try graft.streaming.StreamingDedup.run(source.toDS().toDF(), name)
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    try {
+      (0 until 4).foreach { b =>
+        val batch = planted.zipWithIndex
+          .filter { case (_, i) => i.toLong * 4 / n == b.toLong }
+          .map { case ((id, txt), _) =>
+            DedupDoc(new java.sql.Timestamp(base + (id % 3600) * 1000L),
+              id, txt)
+          }.toSeq
+        if (batch.nonEmpty) {
+          source.addData(batch)
+          query.processAllAvailable()
+        }
+      }
+      s.table(name)
+        .groupBy($"contentHash")
+        .agg(count(lit(1)).as("n_emitted"))
+        .select($"contentHash".as("content_hash"), $"n_emitted")
+        .orderBy("content_hash")
+    } finally {
+      query.stop()
+      s.catalog.dropTempView(name)
+    }
+  }
+
+  val all: Seq[Q] = Seq(balancesEquiv, sessionsEquiv, txStatsEquiv,
+    dedupEquiv)
 }
+
+/** Replay-row shapes for the §2.9 equivalence gates — top-level so
+  * whole-stage codegen can instantiate them from generated Java.
+  */
+final case class TxStatRow(ts: java.sql.Timestamp, valid: Boolean,
+    amountUnits: Long)
+final case class DedupDoc(ts: java.sql.Timestamp, docId: Long,
+    text: String)
