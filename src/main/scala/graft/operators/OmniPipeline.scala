@@ -39,22 +39,29 @@ object OmniPipeline {
     val spark = txs.sparkSession
     implicit val enc: Encoder[(T, Long)] =
       Encoders.tuple(txs.encoder, Encoders.scalaLong)
-    val sorted = txs
-      .repartitionByRange(order: _*)
-      .sortWithinPartitions(order: _*)
-    // zipWithIndex runs a count job before the data pass — cache the
-    // sorted RDD so the shuffle+sort executes once, not twice. The
-    // cache is query-scoped via CacheScope (NOT a global single slot,
-    // which would let two stamper-using queries running concurrently in
-    // one session unpersist each other's RDD mid-flight): each caller's
+    // zipWithIndex runs a count job before the data pass — pin the
+    // sorted result so the shuffle+sort executes once, not twice. The
+    // pin is a COLUMNAR DataFrame persist, not an RDD object cache: a
+    // wide row set (e.g. 150M RawTx at the 1000× probe) cached as JVM
+    // objects costs ~1 kB/row of heap + GC and spills through Java
+    // serialization, where the compressed columnar batches are several
+    // times smaller and decode per pass is a cheap scan. The cache is
+    // query-scoped via CacheScope (NOT a global single slot, which
+    // would let two stamper-using queries running concurrently in one
+    // session unpersist each other's data mid-flight): each caller's
     // cache lives until the harness's CacheScope.release() after its
     // action completes, and the zero-resident-after-release invariant
     // (CacheHygieneSpec) is preserved because release drops them all.
-    val rdd = sorted.rdd.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.CacheScope.defer(() => rdd.unpersist(blocking = false))
+    // (Partitioning is pinned either way: zipWithIndex's two jobs share
+    // one RDD lineage, so the range exchange executes once and both
+    // jobs read the same shuffle output.)
+    val sorted = txs
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheScope.defer(() => sorted.unpersist(blocking = false))
     spark.createDataset(
-      rdd.zipWithIndex.map { case (tx, i) => (tx, i + 1L) })
+      sorted.rdd.zipWithIndex.map { case (tx, i) => (tx, i + 1L) })
   }
 
   def derive(txs: Dataset[RawTx], tipBlock: Long): Derived = {
