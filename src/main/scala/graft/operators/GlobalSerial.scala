@@ -19,7 +19,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object GlobalSerial {
   def assign(df: DataFrame, serialCol: String, order: Column*): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    // Columnar query-scoped pin, same rationale as OmniPipeline.stamp:
+    // zipWithIndex's count job and data job share one shuffle lineage
+    // (partitioning is pinned regardless), but the pin makes the
+    // post-shuffle sort execute once and store compressed batches
+    // rather than re-sorting — or worse, object-caching — wide rows.
+    val sorted = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheScope.defer(() => sorted.unpersist(blocking = false))
     val schema = StructType(
       sorted.schema.fields :+ StructField(serialCol, LongType, nullable = false))
     val withSerial = sorted.rdd.zipWithIndex.map { case (row, idx) =>

@@ -55,7 +55,13 @@ object MetaDexQueries {
           desireddivisible = false,
           matches = (prev ++ next).toSeq), k)
       }
-      .transform(Q.persistScoped)
+      // MEMORY_ONLY, the minhash scratch-bounding shape: partitions that
+      // don't fit recompute (a window read over already-written shuffle
+      // files) instead of spilling ~20 GB of cached RawTx batches onto
+      // the same disk the dedup join's shuffle needs — the measured
+      // cause of the 1000×-probe scratch exhaustion before this change.
+      .transform(ds2 => Q.persistScopedAt(ds2,
+        org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
     ds.count() // EAGER: lazy persist would not dedupe racing consumers
     ds
   }
