@@ -25,7 +25,11 @@ object WalletViews {
       .join(broadcast(rates), col("propertyId") === col("ratePid"), "left")
       .select(col("walletId"), col("address"), col("propertyId"),
         col("available"), col("reserved"),
-        (col("available") * coalesce(col("rate1for2"), lit(0.0)))
+        // Branch, don't multiply by a coalesced zero: IEEE gives
+        // negative × 0.0 = −0.0, but the reference's valuation CASE
+        // (SQLstatements.md:15-86) yields +0.0 for unrated properties.
+        when(col("rate1for2").isNull, lit(0.0))
+          .otherwise(col("available") * col("rate1for2"))
           .as("availableValue"))
   }
 

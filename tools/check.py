@@ -8,6 +8,7 @@ import os
 import sys
 
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -26,6 +27,46 @@ def norm(df):
     return df
 
 
+def frames_equal(a, b):
+    """Bit-strict frame compare. pandas DataFrame.equals treats
+    -0.0 == 0.0 and NaN == NaN — WEAKER than the driver's bitwise
+    content hash, which is how a -0.0 defect once shipped as
+    'green at 4 SFs'. Float columns compare on raw bit patterns
+    (no NaN canonicalization: a false local FAIL is safer than a
+    false OK); everything else keeps pandas semantics.
+    """
+    for c in a.columns:
+        x, y = a[c], b[c]
+        if x.dtype == np.float64 and y.dtype == np.float64:
+            if not (x.to_numpy().view("int64")
+                    == y.to_numpy().view("int64")).all():
+                return False
+        elif x.dtype == np.float32 and y.dtype == np.float32:
+            if not (x.to_numpy().view("int32")
+                    == y.to_numpy().view("int32")).all():
+                return False
+        elif not x.equals(y):
+            return False
+    return True
+
+
+def selftest():
+    """Canary: the checker must fail -0.0 vs +0.0 (what the driver's
+    bitwise hash fails) and still pass equal NaN-free frames."""
+    import pandas as pd
+    neg = pd.DataFrame({"v": [-0.0, 1.5]})
+    pos = pd.DataFrame({"v": [0.0, 1.5]})
+    assert not frames_equal(neg, pos), "-0.0 vs +0.0 must FAIL"
+    assert frames_equal(pos.copy(), pos.copy()), "identical must pass"
+    nan = pd.DataFrame({"v": [float("nan")]})
+    assert frames_equal(nan.copy(), nan.copy()), \
+        "same-bit NaN must pass (same engine, same bits)"
+    f32 = pd.DataFrame({"v": np.array([-0.0], dtype=np.float32)})
+    g32 = pd.DataFrame({"v": np.array([0.0], dtype=np.float32)})
+    assert not frames_equal(f32, g32), "float32 -0.0 vs +0.0 must FAIL"
+    print("selftest OK: bit-strict float compare verified")
+
+
 def connect(sf_dir):
     # Fresh connection per query: one long-lived DuckDB connection
     # accumulates buffers across 100+ comparisons and at 100x-sweep
@@ -42,6 +83,9 @@ def connect(sf_dir):
 
 
 def main():
+    if sys.argv[1:] == ["--selftest"]:
+        selftest()
+        return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
@@ -84,16 +128,21 @@ def main():
             print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
             fail += 1
             continue
-        if a.equals(b):
+        if frames_equal(a, b):
             ok += 1
             print(f"OK   {name} ({len(a)} rows)")
             continue
         # find first differing cells
         diffs = []
         for c in a.columns:
-            neq = (a[c] != b[c]) & ~(a[c].isna() & b[c].isna())
+            if a[c].dtype == np.float64 and b[c].dtype == np.float64:
+                neq = (a[c].to_numpy().view("int64")
+                       != b[c].to_numpy().view("int64"))
+            else:
+                neq = ((a[c] != b[c]) & ~(a[c].isna() & b[c].isna())
+                       ).to_numpy()
             if neq.any():
-                i = neq.idxmax()
+                i = int(np.argmax(neq))
                 diffs.append(f"{c}[{i}]: spark={a[c][i]!r} duck={b[c][i]!r}"
                              f" (dtype {a[c].dtype} vs {b[c].dtype})")
         print(f"FAIL {name}: {'; '.join(diffs[:4])}")
