@@ -11,6 +11,24 @@ import org.apache.spark.sql.Dataset
 object CacheScope {
   private val scoped = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
+  /** Past this many outstanding entries the scope logs a warning: a
+    * long-lived session that registers caches (every stamp/assign/
+    * persistScoped call does) but never calls [[release]] accumulates
+    * MEMORY_AND_DISK blocks indefinitely. We deliberately do NOT
+    * auto-evict — a registered entry may be a localCheckpoint, which
+    * cannot recompute once unpersisted, so eviction could corrupt an
+    * in-flight query; the contract is release-after-every-result.
+    */
+  private val WarnThreshold = 64
+
+  private def checkGrowth(): Unit =
+    if (scoped.size == WarnThreshold)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"CacheScope holds $WarnThreshold unreleased entries - call " +
+          "CacheScope.release() after consuming each query result " +
+          "(see CacheScope scaladoc), or cached blocks accumulate " +
+          "for the life of the session.")
+
   /** Persist and register in one step. */
   def persist[T](ds: Dataset[T]): Dataset[T] = {
     ds.persist()
@@ -47,6 +65,7 @@ object CacheScope {
         ds.unpersist(blocking = false)
         ckRdds.foreach(_.unpersist(blocking = false))
       }
+      checkGrowth()
     }
   }
 
@@ -57,6 +76,7 @@ object CacheScope {
     */
   def defer(cleanup: () => Unit): Unit = scoped.synchronized {
     scoped += cleanup
+    checkGrowth()
   }
 
   /** Unpersist every registered intermediate since the last release. */

@@ -15,6 +15,13 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * shuffle + one pass, fully parallel, identical result to the global
   * row_number as long as `order` is a total order (pass a unique
   * tiebreaker).
+  *
+  * Cache lifetime: each call persists its sorted input
+  * (MEMORY_AND_DISK) and registers the release with
+  * [[graft.CacheScope]]. A long-lived session embedding this operator
+  * MUST call `CacheScope.release()` after consuming each query's
+  * result, or the pins accumulate for the life of the session
+  * (CacheScope warns past 64 outstanding entries).
   */
 object GlobalSerial {
   def assign(df: DataFrame, serialCol: String, order: Column*): DataFrame = {

@@ -231,7 +231,7 @@ object DedupQueries {
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM hh GROUP BY doc_id),
+      |cnt AS (SELECT doc_id, count(DISTINCT h) AS n FROM hh GROUP BY doc_id),
       |cids AS (SELECT id_a AS cid FROM cand UNION SELECT id_b FROM cand),
       |shc AS (SELECT DISTINCT doc_id, h FROM hh
       |        WHERE doc_id IN (SELECT cid FROM cids)),
@@ -289,7 +289,12 @@ object DedupQueries {
     // recompute the band pipeline. One count() fills both the cand and
     // (transitively) the sh cache in a single pass.
     cand.count()
-    val cnt = hashed.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // DISTINCT h, matching the DISTINCT intersection (`shared`) below:
+    // jac_millis is then true hash-space SET Jaccard. Shingles are
+    // already array_distinct per doc, so this only diverges on a
+    // within-doc digest collision — but at corpus scale those happen,
+    // and a multiset denominator would understate similarity.
+    val cnt = hashed.groupBy("doc_id").agg(countDistinct("h").as("n"))
     // shrink the verify join to candidate docs' hashes only
     val cids = cand.select(col("id_a").as("cid"))
       .union(cand.select(col("id_b"))).distinct()

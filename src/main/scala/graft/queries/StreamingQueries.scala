@@ -121,7 +121,9 @@ object StreamingQueries {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val rows = t(s, dir, "events")
       .select($"user_id", $"event_id",
-        (unix_micros($"ts") / 1000).cast(LongType).as("ms"))
+        // integer floor (div), matching the oracle's `//` — double
+        // division can round a non-ms-aligned timestamp up by 1µs
+        expr("unix_micros(ts) div 1000").as("ms"))
       .as[(Long, Long, Long)].collect().sortBy(r => (r._3, r._2))
     val (mn, mx) = (rows.head._3, rows.last._3)
     val name = "ssq_" + java.util.UUID.randomUUID().toString.take(8)
@@ -192,7 +194,9 @@ object StreamingQueries {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val rows = t(s, dir, "events")
       .select($"event_id",
-        ((unix_micros($"ts") / 1000) * 1000).cast(LongType).as("us"),
+        // integer floor (div) × 1000, matching the oracle's `//` —
+        // double division can shift batch assignment by 1µs
+        (expr("unix_micros(ts) div 1000") * 1000).as("us"),
         ($"event_type" =!= "error").as("valid"),
         round($"value" * 100).cast(LongType).as("units"))
       .as[(Long, Long, Boolean, Long)].collect().sortBy(r => (r._2, r._1))
