@@ -23,6 +23,19 @@ object MetaDexOps {
     * taker-reserved→maker-available, received amount moves
     * maker-reserved→taker-available (fee recorded on the trade row,
     * deducted from the received leg as in the reference).
+    *
+    * Shuffle discipline (the send_all treatment): the exploded
+    * per-match stream — the widest leg, ~2 matches per listing — enters
+    * the dedup join as (serial, matchTxid, 3 base amounts), NOT the
+    * full tx row. Every tx-level field (txid, taker, pids, block)
+    * re-attaches AFTER dedup halves the stream, via an equi-join on the
+    * NUMERIC serial key against the one-row-per-listing dimension; the
+    * maker's address rides the dimension side of the dedup join itself.
+    * The maker is the matched listing's sendingaddress — definitionally
+    * the same address the node reports inside the match object
+    * (sql.py:2078-2101 reads it from the counterpart row it just
+    * looked up by txid), so settlement never ships the match-embedded
+    * copy of the string through the wide leg.
     */
   def derive(txs: Dataset[(RawTx, Long)]): (Dataset[MatchedTrade], Dataset[LedgerEntry]) = {
     val spark = txs.sparkSession
@@ -31,24 +44,36 @@ object MetaDexOps {
     val metaTxs = txs.filter(t =>
       (t._1.type_int == 21 || t._1.type_int == 25) && t._1.valid)
 
-    val serialByTxid = metaTxs
-      .map { case (tx, s) => (tx.txid, s) }
-      .toDF("mTxid", "mSerial")
+    // One narrow row per listing: the string match key (txid), the
+    // numeric re-attach key (serial), and the tx-level settlement fields.
+    val txInfo = metaTxs
+      .map { case (tx, s) =>
+        (s, tx.txid, tx.sendingaddress, tx.propertyid, tx.propertyiddesired,
+          tx.block)
+      }
+      .toDF("serial", "txid", "taker", "pidSold", "pidRecv", "block")
 
+    // Narrow per-match tuples into the dedup join: 2 longs + the txid
+    // reference + 3 base amounts per row.
     val exploded = metaTxs.flatMap { case (tx, serial) =>
       tx.matches.map { m =>
-        MatchRow(serial, tx.txid, tx.sendingaddress, tx.propertyid,
-          tx.propertyiddesired, tx.block, m.txid, m.address,
+        (serial, m.txid,
           toBase(m.amountsold, tx.divisible),
           toBase(m.amountreceived, tx.desireddivisible),
           toBase(m.tradingfee, tx.desireddivisible))
       }
-    }
+    }.toDF("serial", "matchTxid", "amountSold", "amountReceived", "fee")
 
+    // Dedup guard (sql.py:2063-2069): a match is listed on BOTH sides;
+    // apply it only on the later tx (matchSerial < txSerial).
     val deduped = exploded
-      .join(serialByTxid, $"matchTxid" === $"mTxid")
+      .join(txInfo.select($"txid".as("mTxid"), $"serial".as("mSerial"),
+        $"taker".as("maker")), $"matchTxid" === $"mTxid")
       .where($"mSerial" < $"serial")
-      .drop("mTxid", "mSerial")
+      .select($"serial", $"matchTxid", $"maker",
+        $"amountSold", $"amountReceived", $"fee")
+      // tx-level fields re-attach on the numeric serial key, post-dedup
+      .join(txInfo, Seq("serial"))
       .as[MatchRow]
 
     val trades = deduped.map { r =>
