@@ -314,33 +314,52 @@ object PipelineQueries {
   /** Mixed-type end-to-end flagship — the reference main loop
     * (omniEngine.py:109-232) where ALL tx-type state machines share one
     * serial stream, as a single derivation: raw JSON interleaving types
-    * 0 / 3 / 4 / 20 / 22 / −22 / 50 / 51 / −51 / 53 / 185 is
-    * schema-parsed, stamped by the W1 range-partition stamper, and
-    * driven through the REAL [[OmniPipeline.derive]] — full
-    * LedgerDecoder dispatch, DexLifecycle order-book fold, property
-    * registry, freeze-aware balance sequencer — into the J9 wallet
-    * serving view with fiat valuation and registry name lookup, all in
-    * one plan. The oracle composes every type's relational form over
-    * the SAME serial arithmetic, so a cross-operator ordering bug
-    * (e.g. a freeze applied after a credit it should precede, or an
-    * accept clamped against the wrong offer state) flips the hash even
-    * when each operator is individually correct.
+    * 0 / 3 / 4 / 20 / 22 / −22 / 25 / 26 / 50 / 51 / −51 / 53 / 54 /
+    * 55 / 56 / 70 / 185 / 200 / 65534 is schema-parsed, stamped by the
+    * W1 range-partition stamper, and driven through the REAL
+    * [[OmniPipeline.derive]] — full LedgerDecoder dispatch,
+    * DexLifecycle order-book fold, MetaDexOps both-sides match dedup +
+    * settlement, property registry with issuer override and managed
+    * grant/revoke, freeze-aware balance sequencer — into the J9 wallet
+    * serving view with fiat valuation, registry name+issuer lookup and
+    * per-address MatchedTrades counts, all in one plan. The oracle
+    * composes every type's relational form over the SAME serial
+    * arithmetic, so a cross-operator ordering bug (e.g. a freeze
+    * applied after a credit it should precede, a match settled on the
+    * wrong side of the dedup guard, or an accept clamped against the
+    * wrong offer state) flips the hash even when each operator is
+    * individually correct.
     *
     * Stream construction (all from orders/customer/nation; one tx per
-    * order plus a small admin prologue/epilogue):
+    * order plus admin prologue/epilogue):
+    *  - block 0: ten 65534 feature activations — they emit NO ledger
+    *    rows; their observable is the +10 they shift EVERY later
+    *    serial by (a total-order pin over the whole stream);
     *  - prologue per nation n: 50 issuance (pid 100+n), 51 crowdsale
     *    create (pid 200+n), 185 freeze of F&lt;n&gt; on pid 100+n (so ALL
     *    later credits land in `frozen`), 20 DEx offer by S&lt;n&gt; sized
     *    to its buyers' max want (sellers without buyers offer 1);
     *  - per order, by o_orderkey mod 10: simple sends to the market
-    *    maker (0,1,2,8,9), a send INTO the frozen address (3), a
-    *    send-all subsend (4), an STO with two recipients (5), a DEx
-    *    accept toward S&lt;custkey mod 25&gt; (6 — only a buyer's FIRST
-    *    accept can bind, later ones are invalid while it is open), a
-    *    crowdsale purchase (7);
+    *    maker (0,1,2), a send INTO the frozen address (3), a send-all
+    *    subsend (4), an STO with two recipients (5), a DEx accept
+    *    toward S&lt;custkey mod 25&gt; (6 — only a buyer's FIRST accept
+    *    can bind, later ones are invalid while it is open), a
+    *    crowdsale purchase (7), a MetaDEx trade on pair 41/42 (8 —
+    *    consecutive orders in the same nation chain trade, each match
+    *    listed on BOTH sides exactly as the node double-reports, so
+    *    the sql.py:2063-2069 dedup guard is load-bearing), a type-200
+    *    embed (9 — zero-delta rows whose only observable is the
+    *    last_serial bump they impose);
     *  - epilogue: −22 BTC payments settling the EVEN-custkey accepts
-    *    (odd ones stay open as `accepted` holds), then 53 closes
-    *    crediting addedissuertokens.
+    *    (odd ones stay open as `accepted` holds), 53 closes crediting
+    *    addedissuertokens, then per nation: 54 managed create
+    *    (pid 300+n), 55 grant to R0, 56 revoke (driving the issuer's
+    *    managed balance negative — the −0.0 regression witness, since
+    *    pid 300+n is unrated), 70 issuer change of pid 100+n to
+    *    I&lt;(n+1) mod 25&gt; (observed via the served `issuer` column),
+    *    and a 26 MetaDEx cancel unreserving half the nation's first
+    *    trade (nations without trades emit an EMPTY cancel so serial
+    *    arithmetic stays dense).
     * The DEx leg reuses the dex_lifecycle_fold closed form (one offer
     * per seller before all accepts ⇒ got = Δ least(cum want, offer)).
     */
@@ -369,54 +388,89 @@ object PipelineQueries {
       |pur AS (SELECT ck, nk, got, row_number() OVER (ORDER BY ck) AS j
       |  FROM accg WHERE ck % 2 = 0),
       |np AS (SELECT CAST(count(*) AS BIGINT) AS p_n FROM pur),
+      |t8 AS (SELECT ck, ok, amt, r, ck % 25 AS nk,
+      |    lag(ck) OVER w8 AS pck, lag(amt) OVER w8 AS pamt,
+      |    row_number() OVER w8 AS rn8
+      |  FROM o WHERE m = 8
+      |  WINDOW w8 AS (PARTITION BY ck % 25 ORDER BY ok)),
+      |f8 AS (SELECT nk, ck AS fck, amt AS famt FROM t8 WHERE rn8 = 1),
+      |ntr AS (SELECT 'C' || CAST(ck AS VARCHAR) AS taddr,
+      |    count(*) AS ntrades
+      |  FROM t8 WHERE pck IS NOT NULL GROUP BY 1),
       |flows AS (
       |  SELECT 'I' || CAST(nk AS VARCHAR) AS address, 100 + nk AS pid,
       |    CAST(1000000000000 AS BIGINT) AS da, 0 AS dr, 0 AS dacc,
-      |    0 AS df, 1 + nk AS serial FROM nn
+      |    0 AS df, 11 + nk AS serial FROM nn
       |  UNION ALL SELECT 'I' || CAST(nk AS VARCHAR), 200 + nk,
-      |    0, 0, 0, 0, 26 + nk FROM nn
+      |    0, 0, 0, 0, 36 + nk FROM nn
       |  UNION ALL SELECT 'F' || CAST(nk AS VARCHAR), 100 + nk,
-      |    0, 0, 0, 0, 51 + nk FROM nn
+      |    0, 0, 0, 0, 61 + nk FROM nn
       |  UNION ALL SELECT 'S' || CAST(nk AS VARCHAR), 31,
-      |    -oamt, oamt, 0, 0, 76 + nk FROM offr
+      |    -oamt, oamt, 0, 0, 86 + nk FROM offr
       |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 31, -amt, 0, 0, 0,
-      |    100 + r FROM o WHERE m IN (0,1,2,8,9)
-      |  UNION ALL SELECT 'MKT', 31, amt, 0, 0, 0, 100 + r
-      |    FROM o WHERE m IN (0,1,2,8,9)
+      |    110 + r FROM o WHERE m IN (0,1,2)
+      |  UNION ALL SELECT 'MKT', 31, amt, 0, 0, 0, 110 + r
+      |    FROM o WHERE m IN (0,1,2)
       |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 100 + ck % 25,
-      |    -amt, 0, 0, 0, 100 + r FROM o WHERE m = 3
+      |    -amt, 0, 0, 0, 110 + r FROM o WHERE m = 3
       |  UNION ALL SELECT 'F' || CAST(ck % 25 AS VARCHAR), 100 + ck % 25,
-      |    0, 0, 0, amt, 100 + r FROM o WHERE m = 3
+      |    0, 0, 0, amt, 110 + r FROM o WHERE m = 3
       |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 32, -amt, 0, 0, 0,
-      |    100 + r FROM o WHERE m = 4
-      |  UNION ALL SELECT 'POOL', 32, amt, 0, 0, 0, 100 + r
+      |    110 + r FROM o WHERE m = 4
+      |  UNION ALL SELECT 'POOL', 32, amt, 0, 0, 0, 110 + r
       |    FROM o WHERE m = 4
       |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 31, -amt, 0, 0, 0,
-      |    100 + r FROM o WHERE m = 5
+      |    110 + r FROM o WHERE m = 5
       |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 1, 0, 0, 0, 0,
-      |    100 + r FROM o WHERE m = 5
-      |  UNION ALL SELECT 'R0', 31, amt // 2, 0, 0, 0, 100 + r
+      |    110 + r FROM o WHERE m = 5
+      |  UNION ALL SELECT 'R0', 31, amt // 2, 0, 0, 0, 110 + r
       |    FROM o WHERE m = 5
-      |  UNION ALL SELECT 'R1', 31, amt - amt // 2, 0, 0, 0, 100 + r
+      |  UNION ALL SELECT 'R1', 31, amt - amt // 2, 0, 0, 0, 110 + r
       |    FROM o WHERE m = 5
       |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 31, 0, 0, 0, 0,
-      |    100 + r FROM accg WHERE got > 0
+      |    110 + r FROM accg WHERE got > 0
       |  UNION ALL SELECT 'S' || CAST(nk AS VARCHAR), 31, 0, 0, got, 0,
-      |    100 + r FROM accg WHERE got > 0
+      |    110 + r FROM accg WHERE got > 0
       |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 31, -amt, 0, 0, 0,
-      |    100 + r FROM o WHERE m = 7
+      |    110 + r FROM o WHERE m = 7
       |  UNION ALL SELECT 'I' || CAST(ck % 25 AS VARCHAR), 31, amt,
-      |    0, 0, 0, 100 + r FROM o WHERE m = 7
+      |    0, 0, 0, 110 + r FROM o WHERE m = 7
       |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 200 + ck % 25,
-      |    2 * amt, 0, 0, 0, 100 + r FROM o WHERE m = 7
+      |    2 * amt, 0, 0, 0, 110 + r FROM o WHERE m = 7
       |  UNION ALL SELECT 'I' || CAST(ck % 25 AS VARCHAR), 200 + ck % 25,
-      |    amt // 10, 0, 0, 0, 100 + r FROM o WHERE m = 7
+      |    amt // 10, 0, 0, 0, 110 + r FROM o WHERE m = 7
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 41, -amt, amt,
+      |    0, 0, 110 + r FROM o WHERE m = 8
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 41, 0, -pamt,
+      |    0, 0, 110 + r FROM t8 WHERE pck IS NOT NULL
+      |  UNION ALL SELECT 'C' || CAST(pck AS VARCHAR), 41, pamt, 0,
+      |    0, 0, 110 + r FROM t8 WHERE pck IS NOT NULL
+      |  UNION ALL SELECT 'C' || CAST(pck AS VARCHAR), 42, 0, -amt,
+      |    0, 0, 110 + r FROM t8 WHERE pck IS NOT NULL
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 42,
+      |    amt - amt % 97, 0, 0, 0, 110 + r FROM t8 WHERE pck IS NOT NULL
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 31, 0, 0, 0, 0,
+      |    110 + r FROM o WHERE m = 9
       |  UNION ALL SELECT 'S' || CAST(nk AS VARCHAR), 31, 0, -got, -got,
-      |    0, o_n + 100 + j FROM pur, dims WHERE got > 0
+      |    0, o_n + 110 + j FROM pur, dims WHERE got > 0
       |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 31, got, 0, 0, 0,
-      |    o_n + 100 + j FROM pur, dims WHERE got > 0
+      |    o_n + 110 + j FROM pur, dims WHERE got > 0
       |  UNION ALL SELECT 'I' || CAST(nk AS VARCHAR), 200 + nk, 1000,
-      |    0, 0, 0, o_n + p_n + 101 + nk FROM nn, dims, np),
+      |    0, 0, 0, o_n + p_n + 111 + nk FROM nn, dims, np
+      |  UNION ALL SELECT 'I' || CAST(nk AS VARCHAR), 300 + nk,
+      |    0, 0, 0, 0, o_n + p_n + 136 + nk FROM nn, dims, np
+      |  UNION ALL SELECT 'R0', 300 + nk, 777000 + nk, 0, 0, 0,
+      |    o_n + p_n + 161 + nk FROM nn, dims, np
+      |  UNION ALL SELECT 'I' || CAST(nk AS VARCHAR), 300 + nk,
+      |    0, 0, 0, 0, o_n + p_n + 161 + nk FROM nn, dims, np
+      |  UNION ALL SELECT 'I' || CAST(nk AS VARCHAR), 300 + nk,
+      |    -(123 + nk), 0, 0, 0, o_n + p_n + 186 + nk FROM nn, dims, np
+      |  UNION ALL SELECT 'I' || CAST(nk AS VARCHAR), 100 + nk,
+      |    0, 0, 0, 0, o_n + p_n + 211 + nk FROM nn, dims, np
+      |  UNION ALL SELECT 'I' || CAST((nk + 1) % 25 AS VARCHAR), 100 + nk,
+      |    0, 0, 0, 0, o_n + p_n + 211 + nk FROM nn, dims, np
+      |  UNION ALL SELECT 'C' || CAST(fck AS VARCHAR), 41, famt // 2,
+      |    -(famt // 2), 0, 0, o_n + p_n + 236 + nk FROM f8, dims, np),
       |bal AS (SELECT address, CAST(pid AS BIGINT) AS propertyId,
       |    CAST(sum(da) AS BIGINT) AS available,
       |    CAST(sum(dr) AS BIGINT) AS reserved,
@@ -442,8 +496,15 @@ object PipelineQueries {
       |            ELSE 0.0 END AS DOUBLE) AS availableValue,
       |  CASE WHEN b.propertyId >= 100
       |       THEN 'P' || CAST(b.propertyId AS VARCHAR)
-      |       ELSE '' END AS property_name
+      |       ELSE '' END AS property_name,
+      |  CASE WHEN b.propertyId BETWEEN 100 AND 199
+      |       THEN 'I' || CAST((b.propertyId - 99) % 25 AS VARCHAR)
+      |       WHEN b.propertyId >= 200
+      |       THEN 'I' || CAST(b.propertyId % 100 AS VARCHAR)
+      |       ELSE '' END AS issuer,
+      |  coalesce(t.ntrades, 0) AS n_trades
       |FROM bal b JOIN wallets w ON b.address = w.address
+      |LEFT JOIN ntr t ON b.address = t.taddr
       |ORDER BY w.walletId, b.address, b.propertyId""".stripMargin) {
     (s, dir) =>
     import s.implicits._
@@ -472,10 +533,19 @@ object PipelineQueries {
     val dimRow = o.agg(max($"ok"), max($"ck")).head()
     val purBase = dimRow.getLong(0) + 200L
     val closeBase = purBase + dimRow.getLong(1) + 1L
-    val tip = closeBase + 1000L
+    val adminBase = closeBase + 1000L
+    val tip = adminBase + 2000L
 
     // --- raw JSON legs (ingestion stand-in: in production these lines
     // are the node's RPC payloads; only they change) ---
+    // 65534 activations at block 0: no ledger rows; their observable is
+    // the +10 they shift every later serial by.
+    val jact = nn.where($"nk" < 10).select(to_json(struct(
+      concat(lit("ac-"), $"nk").as("txid"), lit(65534).as("type_int"),
+      lit("I0").as("sendingaddress"), lit(true).as("valid"),
+      lit(0L).as("block"), $"nk".cast(IntegerType).as("positioninblock"),
+      lit(0L).as("propertyid"), lit(0L).as("amount"),
+      $"nk".as("featureid"))).as("payload"))
     val j50 = nn.select(to_json(struct(
       concat(lit("is-"), $"nk").as("txid"), lit(50).as("type_int"),
       concat(lit("I"), $"nk").as("sendingaddress"),
@@ -510,7 +580,7 @@ object PipelineQueries {
       // far beyond any sweep's block range (ScaleGen shifts keys by
       // 1e12 per copy), so no accept ever expires mid-stream
       lit(1000000000000000000L).as("timelimit"))).as("payload"))
-    val jsend = o.where($"m".isin(0, 1, 2, 8, 9)).select(to_json(struct(
+    val jsend = o.where($"m".isin(0, 1, 2)).select(to_json(struct(
       concat(lit("tx-"), $"ok").as("txid"), lit(0).as("type_int"),
       concat(lit("C"), $"ck").as("sendingaddress"),
       lit("MKT").as("referenceaddress"), lit(true).as("valid"),
@@ -580,8 +650,104 @@ object PipelineQueries {
       ($"nk" + 200).as("propertyid"), lit(0L).as("amount"),
       lit(1000L).as("addedissuertokens"))).as("payload"))
 
-    val raw = Seq(j50, j51, j185, j20, jsend, jfrz, jall, jsto, jacc,
-      jcrowd, jpur, jclose).reduce(_ unionByName _)
+    // MetaDEx trades (25): consecutive m=8 orders in one nation chain
+    // trade pair 41/42; each trade is listed inside BOTH listings'
+    // matches arrays — the node's double reporting — so MetaDexOps'
+    // dedup guard (keep on the later serial) decides who settles.
+    val w8 = Window.partitionBy($"ck" % 25).orderBy($"ok")
+    val t8 = o.where($"m" === 8)
+      .withColumn("pok", lag("ok", 1).over(w8))
+      .withColumn("pck", lag("ck", 1).over(w8))
+      .withColumn("pamt", lag("amt", 1).over(w8))
+      .withColumn("nok", lead("ok", 1).over(w8))
+      .withColumn("nck", lead("ck", 1).over(w8))
+      .withColumn("namt", lead("amt", 1).over(w8))
+    val prevM = struct(
+      concat(lit("tx-"), $"pok").as("txid"),
+      concat(lit("C"), $"pck").as("address"),
+      ($"pok" + 100).as("block"),
+      $"pamt".as("amountsold"), $"amt".as("amountreceived"),
+      ($"amt" % 97).as("tradingfee"))
+    val nextM = struct(
+      concat(lit("tx-"), $"nok").as("txid"),
+      concat(lit("C"), $"nck").as("address"),
+      ($"nok" + 100).as("block"),
+      $"amt".as("amountsold"), $"namt".as("amountreceived"),
+      ($"namt" % 97).as("tradingfee"))
+    val jtrade = t8.select(to_json(struct(
+      concat(lit("tx-"), $"ok").as("txid"), lit(25).as("type_int"),
+      concat(lit("C"), $"ck").as("sendingaddress"),
+      lit(true).as("valid"), ($"ok" + 100).as("block"),
+      lit(0).as("positioninblock"),
+      lit(41L).as("propertyid"), $"amt".as("amount"),
+      lit(42L).as("propertyiddesired"),
+      array_compact(array(
+        when($"pok".isNotNull, prevM),
+        when($"nok".isNotNull, nextM))).as("matches"))).as("payload"))
+    // type-200 embeds (m=9): zero-delta rows; observable only through
+    // the last_serial bump on (sender, 31).
+    val jembed = o.where($"m" === 9).select(to_json(struct(
+      concat(lit("tx-"), $"ok").as("txid"), lit(200).as("type_int"),
+      concat(lit("C"), $"ck").as("sendingaddress"),
+      lit(true).as("valid"), ($"ok" + 100).as("block"),
+      lit(0).as("positioninblock"),
+      lit(31L).as("propertyid"), lit(0L).as("amount"))).as("payload"))
+    // admin epilogue: managed lifecycle (54/55/56), issuer change (70),
+    // and a MetaDEx cancel (26) per nation. Nations without an m=8
+    // trade emit an EMPTY cancel so serial arithmetic stays dense.
+    val j54 = nn.select(to_json(struct(
+      concat(lit("mc-"), $"nk").as("txid"), lit(54).as("type_int"),
+      concat(lit("I"), $"nk").as("sendingaddress"),
+      lit(true).as("valid"), (lit(adminBase) + $"nk").as("block"),
+      lit(0).as("positioninblock"),
+      ($"nk" + 300).as("propertyid"), lit(0L).as("amount"),
+      concat(lit("P"), $"nk" + 300).as("propertyname"))).as("payload"))
+    val j55 = nn.select(to_json(struct(
+      concat(lit("gr-"), $"nk").as("txid"), lit(55).as("type_int"),
+      concat(lit("I"), $"nk").as("sendingaddress"),
+      lit("R0").as("referenceaddress"),
+      lit(true).as("valid"), (lit(adminBase + 100L) + $"nk").as("block"),
+      lit(0).as("positioninblock"),
+      ($"nk" + 300).as("propertyid"),
+      ($"nk" + 777000L).as("amount"))).as("payload"))
+    // the revoke exceeds the issuer's (zero) holding, driving the
+    // managed balance negative on an UNRATED property — the standing
+    // regression witness for the -0.0 valuation fix.
+    val j56 = nn.select(to_json(struct(
+      concat(lit("rv-"), $"nk").as("txid"), lit(56).as("type_int"),
+      concat(lit("I"), $"nk").as("sendingaddress"),
+      lit(true).as("valid"), (lit(adminBase + 200L) + $"nk").as("block"),
+      lit(0).as("positioninblock"),
+      ($"nk" + 300).as("propertyid"),
+      ($"nk" + 123L).as("amount"))).as("payload"))
+    val j70 = nn.select(to_json(struct(
+      concat(lit("ic-"), $"nk").as("txid"), lit(70).as("type_int"),
+      concat(lit("I"), $"nk").as("sendingaddress"),
+      concat(lit("I"), ($"nk" + 1) % 25).as("referenceaddress"),
+      lit(true).as("valid"), (lit(adminBase + 300L) + $"nk").as("block"),
+      lit(0).as("positioninblock"),
+      ($"nk" + 100).as("propertyid"), lit(0L).as("amount"))).as("payload"))
+    val f8 = o.where($"m" === 8)
+      .withColumn("rn", row_number().over(w8))
+      .where($"rn" === 1)
+      .select(($"ck" % 25).as("nk"), $"ok".as("fok"), $"ck".as("fck"),
+        $"amt".as("famt"))
+    val jmx = nn.join(f8, Seq("nk"), "left").select(to_json(struct(
+      concat(lit("mx-"), $"nk").as("txid"), lit(26).as("type_int"),
+      coalesce(concat(lit("C"), $"fck"), concat(lit("I"), $"nk"))
+        .as("sendingaddress"),
+      lit(true).as("valid"), (lit(adminBase + 400L) + $"nk").as("block"),
+      lit(0).as("positioninblock"),
+      lit(41L).as("propertyid"), lit(0L).as("amount"),
+      array_compact(array(when($"fok".isNotNull, struct(
+        concat(lit("tx-"), $"fok").as("txid"),
+        lit(41L).as("propertyid"),
+        expr("famt div 2").as("amountunreserved")))))
+        .as("cancelledtransactions"))).as("payload"))
+
+    val raw = Seq(jact, j50, j51, j185, j20, jsend, jfrz, jall, jsto,
+      jacc, jcrowd, jtrade, jembed, jpur, jclose, j54, j55, j56, j70,
+      jmx).reduce(_ unionByName _)
 
     // S2: one schema'd JacksonParser pass over the union
     val parsed = raw
@@ -613,7 +779,17 @@ object PipelineQueries {
         purchasedtokens = BigDecimal(j.purchasedtokens.getOrElse(0L)),
         issuertokens = BigDecimal(j.issuertokens.getOrElse(0L)),
         addedissuertokens = BigDecimal(j.addedissuertokens.getOrElse(0L)),
-        payload = j.payload.getOrElse(""))
+        payload = j.payload.getOrElse(""),
+        propertyiddesired = j.propertyiddesired.getOrElse(0L),
+        desireddivisible = false,
+        matches = j.matches.getOrElse(Nil)
+          .map(m => TradeMatch(m.txid, m.address, m.block,
+            BigDecimal(m.amountsold), BigDecimal(m.amountreceived),
+            BigDecimal(m.tradingfee))),
+        cancelledtransactions = j.cancelledtransactions.getOrElse(Nil)
+          .map(c => CancelledTx(c.txid, c.propertyid,
+            BigDecimal(c.amountunreserved))),
+        featureid = j.featureid.getOrElse(0L))
     }
 
     // the full pipeline: stamper → decoder/DEx/registry/freeze → balances
@@ -640,17 +816,84 @@ object PipelineQueries {
     val detail = balances.select($"address", $"propertyId",
       $"accepted", $"frozen", $"frozenFlag".as("frozen_flag"),
       $"lastTxDbSerialNum".as("last_serial"))
+    // per-address MatchedTrades count (the taker is the kept listing's
+    // sender): trades → serial-stamped tx dimension on txHash, counted,
+    // joined into the served view.
+    val txAddr = d.txs.map { case (tx, _) => (tx.txid, tx.sendingaddress) }
+      .toDF("txHash", "taddr")
+    val nTrades = d.trades.toDF().select($"txHash")
+      .join(txAddr, Seq("txHash"))
+      .groupBy($"taddr".as("address"))
+      .agg(count(lit(1)).as("n_trades"))
     WalletViews.withPropertyNames(
-        served.join(detail, Seq("address", "propertyId")), d.properties)
+        served.join(detail, Seq("address", "propertyId")), d.properties,
+        Seq("propertyName", "issuer"))
+      .join(nTrades, Seq("address"), "left")
       .select($"walletId", $"address", $"propertyId", $"available",
         $"reserved", $"accepted", $"frozen", $"frozen_flag",
         $"last_serial", $"availableValue",
-        coalesce($"propertyName", lit("")).as("property_name"))
+        coalesce($"propertyName", lit("")).as("property_name"),
+        coalesce($"issuer", lit("")).as("issuer"),
+        coalesce($"n_trades", lit(0L)).as("n_trades"))
       .orderBy("walletId", "address", "propertyId")
   }
 
+  /** J9 valuation policy gate at the numeric(19) edge: balances of
+    * ±(9.1e15 + ε) CROSS 2^53, where double(available) × rate and the
+    * pinned exact-decimal product genuinely differ in the last bits —
+    * so this gate fails if either engine's valuation drifts off the
+    * decimal-then-double contract ([[graft.serving.WalletViews]]
+    * scaladoc; reference omni_db_schema.psql:88-91 numeric(19) units,
+    * SQLstatements.md:15-86 valuation). The 8-dp rate 1.23456789 makes
+    * every product fractional, so the rounding path is exercised on
+    * every row, positive and negative.
+    */
+  val valuationBigint = Q(
+    "j9_valuation_2p53",
+    """WITH b AS (SELECT 'C' || CAST(c_custkey AS VARCHAR) AS address,
+      |    (CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE -1 END) *
+      |      (9100000000000000 + CAST(round(c_acctbal * 100) AS BIGINT))
+      |      AS available
+      |  FROM customer)
+      |SELECT address, CAST(31 AS BIGINT) AS propertyId, available,
+      |  CAST(0 AS BIGINT) AS reserved,
+      |  CAST(CAST(CAST(available AS DECIMAL(19,0)) *
+      |       CAST(1.23456789 AS DECIMAL(18,8)) AS VARCHAR) AS DOUBLE)
+      |    AS availableValue
+      |FROM b ORDER BY address""".stripMargin) { (s, dir) =>
+    // Oracle nuance: DuckDB's native decimal→double cast double-rounds
+    // (int128→double, then /1e8 — two IEEE roundings), off by 1 ulp
+    // from the correctly-rounded conversion once the product's
+    // significand exceeds 53 bits; Spark's Decimal.toDouble (Java
+    // BigDecimal.doubleValue) is correctly rounded. The decimal→VARCHAR
+    // →DOUBLE round-trip forces DuckDB through its correctly-rounded
+    // string parser, expressing the same contract.
+    import s.implicits._
+    import graft.serving.WalletViews
+    val balances = t(s, dir, "customer")
+      .select(concat(lit("C"), $"c_custkey").as("address"),
+        lit(31L).as("propertyId"),
+        (when($"c_custkey" % 2 === 0, lit(1L)).otherwise(lit(-1L)) *
+          (lit(9100000000000000L) +
+            round($"c_acctbal" * 100).cast(LongType))).as("available"),
+        lit(0L).as("reserved"), lit(0L).as("accepted"),
+        lit(0L).as("frozen"), lit(1L).as("lastTxDbSerialNum"),
+        lit(false).as("frozenFlag"))
+      .as[AddressBalance]
+    val wallets = t(s, dir, "customer")
+      .select(concat(lit("C"), $"c_custkey").as("address"),
+        lit("W").as("walletId"))
+    val rates = s.createDataset(Seq(
+      RatesEtl.Rate("Omni", 31L, "Fiat", 1L, 1.23456789, 1L, "fix")))
+    WalletViews.walletBalances(balances, wallets, rates)
+      .select($"address", $"propertyId", $"available", $"reserved",
+        $"availableValue")
+      .orderBy("address")
+  }
+
   val all: Seq[Q] = Seq(featureActivations, embed200, ratesParse,
-    ratesHistory, resetFromSnapshot, e2eIngest, e2eIngestFull)
+    ratesHistory, resetFromSnapshot, e2eIngest, e2eIngestFull,
+    valuationBigint)
 }
 
 /** JSON shape of one ingested tx for the mixed-type e2e flagship — the
@@ -661,6 +904,10 @@ final case class JRec(address: String, amount: Long)
 final case class JSub(propertyid: Long, amount: Long)
 final case class JPur(referenceaddress: String, propertyid: Long,
     amountbought: Long)
+final case class JMatch(txid: String, address: String, block: Long,
+    amountsold: Long, amountreceived: Long, tradingfee: Long)
+final case class JCancel(txid: String, propertyid: Long,
+    amountunreserved: Long)
 final case class JTx(
     txid: String, type_int: Int, sendingaddress: String,
     referenceaddress: Option[String], valid: Boolean, block: Long,
@@ -671,4 +918,7 @@ final case class JTx(
     purchasedpropertyid: Option[Long], purchasedtokens: Option[Long],
     issuertokens: Option[Long], addedissuertokens: Option[Long],
     recipients: Option[Seq[JRec]], subsends: Option[Seq[JSub]],
-    purchases: Option[Seq[JPur]])
+    purchases: Option[Seq[JPur]],
+    propertyiddesired: Option[Long], featureid: Option[Long],
+    matches: Option[Seq[JMatch]],
+    cancelledtransactions: Option[Seq[JCancel]])

@@ -2,6 +2,7 @@ package graft.serving
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.model.{AddressBalance, LedgerEntry, SmartProperty}
 import graft.operators.RatesEtl.Rate
 
@@ -15,6 +16,19 @@ object WalletViews {
   /** Balances + values for a wallet (SQLstatements.md:15-86): wallet
     * membership ⋈ balances ⋈ latest rates, `balance × rate`
     * projections. `walletAddresses(address, walletId)`.
+    *
+    * Valuation policy (pinned by the j9_valuation_2p53 gate): the
+    * product is computed in EXACT DECIMAL — numeric(19) base units ×
+    * the rate quantized to 8 dp — and cast to double once, at the
+    * serving edge. The reference stores 19-digit integer base units
+    * (omni_db_schema.psql:88-91) and multiplies numeric × numeric in
+    * SQL before the API layer floats the result; a double × double
+    * product instead would silently diverge in the last bit once
+    * balances cross 2^53 (≈9.007e15 base units — reachable for real
+    * 1e8-scaled supplies), because double(available) rounds BEFORE the
+    * multiply. decimal(19,0) × decimal(18,8) → decimal(38,8) stays
+    * within Spark's 38-digit exact range, so no precision-loss rewrite
+    * fires and both engines round the same exact value to double.
     */
   def walletBalances(balances: Dataset[AddressBalance],
       walletAddresses: DataFrame, currentRates: Dataset[Rate]): DataFrame = {
@@ -29,7 +43,9 @@ object WalletViews {
         // negative × 0.0 = −0.0, but the reference's valuation CASE
         // (SQLstatements.md:15-86) yields +0.0 for unrated properties.
         when(col("rate1for2").isNull, lit(0.0))
-          .otherwise(col("available") * col("rate1for2"))
+          .otherwise((col("available").cast(DecimalType(19, 0)) *
+            col("rate1for2").cast(DecimalType(18, 8)))
+            .cast(DoubleType))
           .as("availableValue"))
   }
 
@@ -57,9 +73,12 @@ object WalletViews {
   def bySerial(ledger: Dataset[LedgerEntry], serial: Long): DataFrame =
     ledger.where(col("txDbSerialNum") === serial).toDF()
 
-  /** Property dimension join for display names (J8 shape). */
-  def withPropertyNames(df: DataFrame,
-      properties: Dataset[SmartProperty]): DataFrame =
-    df.join(broadcast(properties.select(col("propertyId"),
-      col("propertyName"))), Seq("propertyId"), "left")
+  /** Property dimension join for display fields (J8 shape): the name by
+    * default; callers needing more registry columns (issuer, managed,
+    * …) list them — one broadcast either way.
+    */
+  def withPropertyNames(df: DataFrame, properties: Dataset[SmartProperty],
+      cols: Seq[String] = Seq("propertyName")): DataFrame =
+    df.join(broadcast(properties.select(col("propertyId") +:
+      cols.map(col): _*)), Seq("propertyId"), "left")
 }
