@@ -120,6 +120,29 @@ class MultimodalSpec extends AnyFunSuite {
       s"worst=${px.map(p => math.abs(p - 99)).max}")
   }
 
+  test("decodeImage sniffs foreign containers it was never tuned for (BMP, TIFF)") {
+    // third and fourth containers through the SAME seam: the reader is
+    // discovered from the bytes, so containers the pipeline has never
+    // shipped must decode with zero code changes. Both are lossless —
+    // the raster must round-trip EXACTLY, unlike the JPEG tolerance.
+    Seq("bmp", "tiff").foreach { container =>
+      val w = 13; val h = 7
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until w * h).foreach(i =>
+        img.getRaster.setSample(i % w, i / w, 0, (i * 37 + 5) % 256))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, container, bos),
+        s"JDK has no $container writer")
+      val (fmt, dw, dh, px) = Multimodal.decodeImage(bos.toByteArray)
+      assert(fmt.contains(container.stripSuffix("f")) || fmt == container,
+        s"sniffed '$fmt' for $container")
+      assert((dw, dh) == ((w, h)))
+      assert(px.toSeq == (0 until w * h).map(i => (i * 37 + 5) % 256),
+        s"$container raster did not round-trip exactly")
+    }
+  }
+
   test("resizeNN upsamples a foreign image (2x2 -> 4x4 block replication)") {
     val img = new java.awt.image.BufferedImage(2, 2,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
