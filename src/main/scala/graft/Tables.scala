@@ -26,11 +26,23 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // ScaleGen-produced events already carry a real micros timestamp;
     // only the driver's TIMESTAMP(NANOS)-as-long form needs converting.
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else df
+    val nanosFixed =
+      if (name == "events" &&
+          df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      else df
+    // Driver parquet written without isAdjustedToUTC reads back as
+    // TIMESTAMP_NTZ on Spark 4; every consumer (and the DuckDB oracle,
+    // whose naive timestamps ARE the UTC instants here) expects plain
+    // TIMESTAMP. Session tz is pinned to UTC at every entry point, so
+    // the cast is value-preserving.
+    nanosFixed.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        f.name
+    }.foldLeft(nanosFixed) { (d, c) =>
+      d.withColumn(c, d.col(c).cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** Register all tables as temp views (for spark.sql-style queries). */
