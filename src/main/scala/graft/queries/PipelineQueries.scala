@@ -891,9 +891,196 @@ object PipelineQueries {
       .orderBy("address")
   }
 
+  /** Chain-level e2e composition — the reference main loop's OTHER
+    * interleave (omniEngine.py:109-232): BTC value transfers
+    * (vin/vout UTXO rows, sql.py:1671-1719) and Omni transactions
+    * share ONE tx serial stream (every Omni tx IS a BTC tx; its
+    * ledger rows carry the same txDbSerialNum as the carrier's
+    * vin/vout rows), while the mempool pending set (sql.py:361-455)
+    * overlays unconfirmed txs that must vanish on confirmation
+    * (anti-join, J10) or expiry (5-h horizon, sql.py:322-327).
+    *
+    * Stream construction (orders + customer):
+    *  - every customer gets a coinbase output of 1e12 sat (serial =
+    *    the W1 stamp over customers);
+    *  - each CONFIRMED order (ok mod 7 ≠ 3) is one tx at serial
+    *    1e6 + stamp: its vin spends the customer's previous output
+    *    in full (first order spends the coinbase — the S4/J5
+    *    equi-join must resolve the spent VALUE, so a mis-link breaks
+    *    the telescoping change sums), vout0 returns change to the
+    *    customer, vout1 pays amt%1000+1 to the nation market M&lt;nk&gt;;
+    *  - orders with ok mod 3 = 0 ALSO carry an Omni simple send
+    *    (type 0, pid 31) decoded by the real [[LedgerDecoder]] at the
+    *    SAME serial — the cross-protocol ordering pin: last_serial
+    *    per (address, property) mixes both protocols' rows;
+    *  - ok mod 7 = 3 orders are pending-only; those with ok mod 11 = 0
+    *    are past the expiry horizon, and every confirmed ok mod 5 = 0
+    *    order ALSO leaves a stale pending duplicate that the
+    *    [[graft.operators.Pending]] anti-join must remove. Live
+    *    pendings surface as per-address n_pending / pending_sats.
+    *
+    * Scale shape: the stamper is the W1 range-partition stamp, the
+    * per-customer chain is a ck-partitioned window (no global
+    * window), the vin→vout resolution is one distributed equi-join
+    * on (prevTxid, n), and pending reconcile is a broadcast-size
+    * anti-join — no driver loop anywhere.
+    */
+  val e2eIngestChain = Q(
+    "e2e_ingest_chain",
+    """WITH cust AS (SELECT c_custkey AS ck,
+      |    CAST(c_nationkey AS BIGINT) AS nk,
+      |    row_number() OVER (ORDER BY c_custkey) AS rc FROM customer),
+      |o AS (SELECT o_orderkey AS ok, o_custkey AS ck,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS amt FROM orders),
+      |oo AS (SELECT o.ok, o.ck, c.nk, c.rc, o.amt,
+      |    o.amt % 1000 + 1 AS pay,
+      |    o.ok % 7 <> 3 AS conf, o.ok % 3 = 0 AS omni
+      |  FROM o JOIN cust c ON o.ck = c.ck),
+      |co AS (SELECT *,
+      |    1000000 + row_number() OVER (ORDER BY ok) AS serial
+      |  FROM oo WHERE conf),
+      |ch AS (SELECT *, sum(pay + 100) OVER (PARTITION BY ck ORDER BY ok
+      |    ROWS UNBOUNDED PRECEDING) AS cum FROM co),
+      |flows AS (
+      |  SELECT 'C' || CAST(ck AS VARCHAR) AS address,
+      |    CAST(0 AS BIGINT) AS pid,
+      |    CAST(1000000000000 AS BIGINT) AS delta,
+      |    rc AS serial FROM cust
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 0,
+      |    -(1000000000000 - (cum - pay - 100)), serial FROM ch
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 0,
+      |    1000000000000 - cum, serial FROM ch
+      |  UNION ALL SELECT 'M' || CAST(nk AS VARCHAR), 0, pay, serial
+      |    FROM ch
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 31, -amt, serial
+      |    FROM ch WHERE omni
+      |  UNION ALL SELECT 'M' || CAST(nk AS VARCHAR), 31, amt, serial
+      |    FROM ch WHERE omni),
+      |bal AS (SELECT address, pid AS propertyId,
+      |    CAST(sum(delta) AS BIGINT) AS available,
+      |    count(*) AS n_entries,
+      |    CAST(max(serial) AS BIGINT) AS last_serial
+      |  FROM flows GROUP BY 1, 2),
+      |pend AS (SELECT 'C' || CAST(ck AS VARCHAR) AS address,
+      |    count(*) AS n_pending, CAST(sum(pay) AS BIGINT) AS pending_sats
+      |  FROM oo WHERE NOT conf AND ok % 11 <> 0 GROUP BY 1),
+      |wmap AS (SELECT 'C' || CAST(ck AS VARCHAR) AS address,
+      |    'W' || CAST(nk AS VARCHAR) AS walletId FROM cust
+      |  UNION ALL SELECT DISTINCT 'M' || CAST(nk AS VARCHAR), 'WM'
+      |    FROM cust)
+      |SELECT w.walletId, b.address, b.propertyId, b.available,
+      |  b.n_entries, b.last_serial,
+      |  coalesce(p.n_pending, 0) AS n_pending,
+      |  coalesce(p.pending_sats, 0) AS pending_sats
+      |FROM bal b JOIN wmap w ON b.address = w.address
+      |LEFT JOIN pend p ON b.address = p.address
+      |ORDER BY b.address, b.propertyId""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{BtcLedger, OmniPipeline, Pending}
+    import graft.operators.BtcLedger.{TxIn, TxOut}
+
+    val Coin = 1000000000000L
+    val cust = t(s, dir, "customer")
+      .select($"c_custkey".as("ck"), $"c_nationkey".cast(LongType).as("nk"))
+      .as[(Long, Long)]
+    // W1 stamp over the customer dimension → coinbase serials
+    val cb = OmniPipeline.stamp(cust, col("ck")).map { case ((ck, _), rc) =>
+      TxOut(s"cb$ck", rc, 0, s"C$ck", Coin)
+    }
+    val oo = t(s, dir, "orders")
+      .select($"o_orderkey".as("ok"), $"o_custkey".as("ck"),
+        round($"o_totalprice" * 100).cast(LongType).as("amt"))
+      .join(cust.toDF("ck2", "nk"), $"ck" === $"ck2")
+      .select($"ok", $"ck", $"nk", $"amt",
+        ($"amt" % 1000 + 1).as("pay"),
+        ($"ok" % 7 =!= 3).as("conf"), ($"ok" % 3 === 0).as("omni"))
+    // W1 stamp over confirmed orders (narrow tuples) → tx serials
+    val conf = oo.where($"conf")
+      .select($"ok", $"ck", $"nk", $"amt", $"pay", $"omni")
+      .as[(Long, Long, Long, Long, Long, Boolean)]
+    val stamped = OmniPipeline.stamp(conf, col("ok"))
+      .map { case ((ok, ck, nk, amt, pay, omni), r) =>
+        (ok, ck, nk, amt, pay, omni, 1000000L + r)
+      }
+      .toDF("ok", "ck", "nk", "amt", "pay", "omni", "serial")
+    // per-customer UTXO chain: cumulative spend + previous txid
+    val w = Window.partitionBy($"ck").orderBy($"ok")
+    val ch = stamped
+      .withColumn("txid", concat(lit("t"), $"ok"))
+      .withColumn("cum", sum($"pay" + 100).over(w))
+      .withColumn("prevTxid",
+        coalesce(lag($"txid", 1).over(w), concat(lit("cb"), $"ck")))
+      .transform(Q.persistScoped)
+    val vout0 = ch.select($"txid", $"serial", $"ck", ($"cum").as("cum"))
+      .as[(String, Long, Long, Long)]
+      .map { case (txid, serial, ck, cum) =>
+        TxOut(txid, serial, 0, s"C$ck", Coin - cum)
+      }
+    val vout1 = ch.select($"txid", $"serial", $"nk", $"pay")
+      .as[(String, Long, Long, Long)]
+      .map { case (txid, serial, nk, pay) =>
+        TxOut(txid, serial, 1, s"M$nk", pay)
+      }
+    val ins = ch.select($"txid", $"serial", $"prevTxid")
+      .as[(String, Long, String)]
+      .map { case (txid, serial, prev) => TxIn(txid, serial, prev, 0) }
+    val btc = BtcLedger.derive(cb.union(vout0).union(vout1), ins)
+    // Omni leg: type-0 sends through the real decoder at the SAME serial
+    val omni = ch.where($"omni")
+      .select($"txid", $"serial", $"ck", $"nk", $"amt")
+      .as[(String, Long, Long, Long, Long)]
+      .flatMap { case (txid, serial, ck, nk, amt) =>
+        LedgerDecoder.decode(RawTx(txid = txid, protocol = "Omni",
+          sendingaddress = s"C$ck", referenceaddress = Some(s"M$nk"),
+          type_int = 0, version = 0, valid = true, block = serial,
+          blocktime = 0, positioninblock = 0, propertyid = 31,
+          divisible = false, amount = BigDecimal(amt)), serial)
+      }
+    val bal = btc.union(omni)
+      .groupBy($"address", $"propertyId")
+      .agg(sum($"availableDelta").cast(LongType).as("available"),
+        count(lit(1)).as("n_entries"),
+        max($"txDbSerialNum").as("last_serial"))
+    // mempool overlay: unconfirmed + expired + stale-duplicate pendings
+    def mem(txid: String, ck: Long, pay: Long, bt: Long): RawTx =
+      RawTx(txid = txid, protocol = "Bitcoin", sendingaddress = s"C$ck",
+        referenceaddress = None, type_int = 0, version = 0, valid = true,
+        block = 0, blocktime = bt, positioninblock = 0, propertyid = 0,
+        divisible = false, amount = BigDecimal(pay))
+    val now = 1000000L
+    val pendingTxs = oo.where(!$"conf")
+      .select($"ok", $"ck", $"pay").as[(Long, Long, Long)]
+      .map { case (ok, ck, pay) =>
+        mem(s"t$ok", ck, pay, if (ok % 11 == 0) 0L else now - 1000L)
+      }
+    val stale = oo.where($"conf" && $"ok" % 5 === 0)
+      .select($"ok", $"ck", $"pay").as[(Long, Long, Long)]
+      .map { case (ok, ck, pay) => mem(s"t$ok", ck, pay, now - 1000L) }
+    val confirmedTxs = ch.select($"txid", $"ck").as[(String, Long)]
+      .map { case (txid, ck) => mem(txid, ck, 0L, now) }
+    val pend = Pending.reconcile(confirmedTxs, pendingTxs.union(stale), now)
+      .groupBy($"sendingaddress".as("address"))
+      .agg(count(lit(1)).as("n_pending"),
+        sum($"amount").cast(LongType).as("pending_sats"))
+    val wallets = t(s, dir, "customer")
+      .select(concat(lit("C"), $"c_custkey").as("address"),
+        concat(lit("W"), $"c_nationkey").as("walletId"))
+      .union(cust.toDF("ck", "nk").select($"nk").distinct()
+        .select(concat(lit("M"), $"nk").as("address"),
+          lit("WM").as("walletId")))
+    bal.join(wallets, Seq("address"))
+      .join(pend, Seq("address"), "left")
+      .select($"walletId", $"address", $"propertyId", $"available",
+        $"n_entries", $"last_serial",
+        coalesce($"n_pending", lit(0L)).as("n_pending"),
+        coalesce($"pending_sats", lit(0L)).as("pending_sats"))
+      .orderBy("address", "propertyId")
+  }
+
   val all: Seq[Q] = Seq(featureActivations, embed200, ratesParse,
     ratesHistory, resetFromSnapshot, e2eIngest, e2eIngestFull,
-    valuationBigint)
+    e2eIngestChain, valuationBigint)
 }
 
 /** JSON shape of one ingested tx for the mixed-type e2e flagship — the

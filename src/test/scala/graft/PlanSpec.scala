@@ -235,6 +235,20 @@ class PlanSpec extends SparkTestBase {
     releaseScopedCaches()
   }
 
+  test("e2e ingest chain: UTXO resolution is a distributed equi-join; no single-partition exchange") {
+    val p = plan(graft.queries.PipelineQueries.e2eIngestChain)
+    // the vin→vout spend resolution is fact⋈fact — it must be a
+    // shuffle join, never a broadcast of one side of the UTXO set
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    // wallet map and pending tallies broadcast into the serving join
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2, p)
+    // serials from the W1 stamper, chain windows partitioned by ck —
+    // nothing may collapse the ledger to one partition
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in e2e ingest chain:\n$p")
+    releaseScopedCaches()
+  }
+
   test("s8 sink roundtrip: read-back joins the metadata-scale file stats broadcast") {
     val p = plan(graft.queries.SourceQueries.sinkRoundtrip)
     assert(p.contains("BroadcastHashJoin"), p)

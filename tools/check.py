@@ -92,6 +92,8 @@ def main():
         oracles = json.load(f)
     ok = fail = 0
     for name in oracles:
+        if only and name not in only:
+            continue
         if not os.path.isdir(os.path.join(out_dir, name)):
             print(f"FAIL {name}: no result dir (query errored in Verify?)")
             fail += 1
