@@ -319,6 +319,69 @@ object SimilarityQueries {
     twoPhaseTopK(scored, 10)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the corpus with the deterministic k-means trainer, then mark a
+    * vector as a duplicate iff some LOWER-id member of its OWN cluster
+    * is within the cosine threshold — pairwise comparison happens only
+    * inside a cluster, never across the corpus. This is the scale
+    * story that separates it from `dedup_cosine_near`'s LSH cells: at
+    * 100 TB the cluster count grows ~√N so the per-cell quadratic
+    * stays bounded, the cluster id is the one shuffle key, and the
+    * keep/drop verdict is a per-vector aggregate (min dup_of), never a
+    * global structure. Keep rule = min-id survivor, the same greedy
+    * first-occurrence rule as the exact-dedup family, so the output is
+    * deterministic under any execution order.
+    */
+  val semanticDedup = Q(
+    "dedup_semantic",
+    s"""WITH $kmeansSql,
+      |pairs AS (
+      |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+      |    CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
+      |    a.nq AS na, b.nq AS nb
+      |  FROM a2 a JOIN a2 b
+      |    ON a.cluster = b.cluster AND b.vec_id < a.vec_id),
+      |dup AS (
+      |  SELECT ida AS vec_id, CAST(min(idb) AS BIGINT) AS dup_of,
+      |    CAST(max(cm) AS BIGINT) AS max_cos
+      |  FROM (SELECT ida, idb,
+      |      CAST(floor(1000000.0 * dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cm
+      |    FROM pairs)
+      |  WHERE cm >= 250000 GROUP BY ida)
+      |SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+      |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+      |  coalesce(d.dup_of, CAST(-1 AS BIGINT)) AS dup_of,
+      |  coalesce(d.max_cos, CAST(-1 AS BIGINT)) AS max_cos
+      |FROM a2 a LEFT JOIN dup d ON a.vec_id = d.vec_id
+      |ORDER BY a.vec_id""".stripMargin) { (s, dir) =>
+    import graft.operators.KMeans
+    val base = Q.persistScoped(quantized(s, dir))
+    val cs = KMeans.centroids(base, 8, 2)
+    // both sides of the intra-cluster self-join scan the assignment
+    val assigned = Q.persistScoped(
+      KMeans.assign(base, cs).select("vec_id", "cluster", "q", "nq"))
+    val a = assigned.select(col("vec_id").as("ida"), col("cluster"),
+      col("q").as("qa"), col("nq").as("na"))
+    val b = assigned.select(col("vec_id").as("idb"), col("cluster").as("cb"),
+      col("q").as("qb"), col("nq").as("nb"))
+    val dup = a
+      .join(b, col("cluster") === col("cb") && col("idb") < col("ida"))
+      .withColumn("dot", expr(sparkDot))
+      .withColumn("cm", expr(cosMicros))
+      .where(col("cm") >= 250000)
+      .groupBy(col("ida"))
+      .agg(min(col("idb")).cast(LongType).as("dup_of"),
+        max(col("cm")).cast(LongType).as("max_cos"))
+      .select(col("ida").as("vec_id"), col("dup_of"), col("max_cos"))
+    assigned.select(col("vec_id"), col("cluster").cast(LongType).as("cluster"))
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("dup_of").isNull, lit(1L)).otherwise(lit(0L)).as("keep"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        coalesce(col("max_cos"), lit(-1L)).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] =
-    Seq(annBrute, annLsh, cosineNear, kmeansAssign, annIvf)
+    Seq(annBrute, annLsh, cosineNear, kmeansAssign, annIvf, semanticDedup)
 }

@@ -606,8 +606,74 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus-wide line-level deduplication (the RefinedWeb/CCNet "line
+    * dedup" pass): segment every document into fixed 8-token lines,
+    * keep only the FIRST occurrence of each distinct line across the
+    * whole corpus (ordered by doc_id, then position), and reconstruct
+    * each document from its surviving lines. Unlike the document-level
+    * dedup family this EDITS documents — boilerplate that repeats
+    * across pages vanishes from every copy but the first.
+    *
+    * Scale shape: the first-occurrence resolution is a groupBy on the
+    * line's 128-bit hash carrying only (hash, doc_id, chunk_id) — the
+    * line TEXT never crosses that exchange; the flagging join is
+    * hash-keyed; the rebuild is a per-doc aggregate whose collect_list
+    * is bounded by document length. No window over the corpus, no
+    * global sort. Both engines key on md5(line), so the grouping is
+    * identical by construction.
+    */
+  val lineDedup = Q(
+    "text_line_dedup",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr,
+      |    len(string_split(text, ' ')) AS n FROM documents),
+      |st AS (SELECT doc_id, arr, unnest(range(0, n, 8)) AS start
+      |  FROM d WHERE n > 0),
+      |ch AS (SELECT doc_id, CAST(start // 8 AS BIGINT) AS chunk_id,
+      |    array_to_string(list_slice(arr, CAST(start + 1 AS INT),
+      |      CAST(start + 8 AS INT)), ' ') AS line
+      |  FROM st),
+      |k AS (SELECT doc_id, chunk_id, line,
+      |    row_number() OVER (PARTITION BY md5(line)
+      |      ORDER BY doc_id, chunk_id) AS rn
+      |  FROM ch)
+      |SELECT doc_id,
+      |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+      |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped,
+      |  md5(coalesce(string_agg(line, ' ' ORDER BY chunk_id)
+      |    FILTER (WHERE rn = 1), '')) AS text_hash
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val lines = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .withColumn("n", size(col("arr")))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("arr"),
+        explode(expr("sequence(0, n - 1, 8)")).as("start"))
+      .select(col("doc_id"),
+        expr("start div 8").cast(LongType).as("chunk_id"),
+        array_join(expr("slice(arr, start + 1, 8)"), " ").as("line"))
+      .withColumn("h", md5(col("line")))
+    // first occurrence per distinct line: (hash, ids) only in flight
+    val firsts = lines
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("fd"), col("f.chunk_id").as("fc"))
+    lines.join(firsts, "h")
+      .withColumn("kept",
+        col("doc_id") === col("fd") && col("chunk_id") === col("fc"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+        // collect_list drops the nulls `when` leaves on dropped lines;
+        // array_sort orders the struct by its leading chunk_id
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN struct(chunk_id, line) END)), x -> x.line)"),
+          " ")).as("text_hash"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, vocabulary, tfidf, unigramLm,
       cdcChunks, bpePairs, bpeMergeLoop, bpeEncode, fixedChunks,
-      invertedIndex)
+      invertedIndex, lineDedup)
 }
