@@ -265,4 +265,31 @@ class PlanSpec extends SparkTestBase {
     */
   private def releaseScopedCaches(): Unit =
     graft.queries.Q.releaseScoped()
+
+  test("semantic dedup: intra-cluster pairing is an equi-join, never a nested loop") {
+    val p = plan(graft.queries.SimilarityQueries.semanticDedup)
+    // the only quadratic-risk stage is the cluster-local self-join —
+    // it must key on the cluster id (hash or sort-merge or broadcast
+    // HASH), never degrade to a cartesian/nested-loop pairing
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in semantic dedup:\n$p")
+    releaseScopedCaches()
+  }
+
+  test("line dedup: first-occurrence exchange carries hash+ids, never the line text") {
+    val q = graft.queries.TextQueries.lineDedup.run(spark, dir)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in line dedup:\n$p")
+    // the dedup-resolution aggregate (groupBy h -> min(doc,chunk))
+    // must not shuffle the line text: every Exchange whose output
+    // includes the md5 column either also carries doc/chunk ids only,
+    // or belongs to the join/rebuild stages that NEED the text. Pin
+    // the resolution agg's shape: a partial_min on a struct exists
+    // (map-side combine), so the exchange after it carries 3 columns.
+    assert(p.contains("partial_min") || p.contains("min("), p)
+    releaseScopedCaches()
+  }
 }
