@@ -377,10 +377,29 @@ object Multimodal {
       val w = img.getWidth
       val h = img.getHeight
       val px = new Array[Int](w * h)
+      // Palette-indexed containers (GIF, indexed PNG/BMP) store the
+      // PALETTE INDEX in the raster, not the sample value — resolve
+      // through the color model (identity for an achromatic palette,
+      // integer BT.601 luma otherwise). Single-band non-indexed images
+      // keep the direct raster path: getRGB would run them through the
+      // gray→sRGB transfer curve and corrupt exactness.
+      val indexed =
+        img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel] ||
+          raster.getNumBands > 1
       var y = 0
       while (y < h) {
         var x = 0
-        while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+        while (x < w) {
+          px(y * w + x) =
+            if (!indexed) raster.getSample(x, y, 0)
+            else {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              if (r == g && g == b) r else (r * 299 + g * 587 + b * 114 + 500) / 1000
+            }
+          x += 1
+        }
         y += 1
       }
       (fmt, w, h, px)

@@ -120,12 +120,14 @@ class MultimodalSpec extends AnyFunSuite {
       s"worst=${px.map(p => math.abs(p - 99)).max}")
   }
 
-  test("decodeImage sniffs foreign containers it was never tuned for (BMP, TIFF)") {
-    // third and fourth containers through the SAME seam: the reader is
-    // discovered from the bytes, so containers the pipeline has never
-    // shipped must decode with zero code changes. Both are lossless —
-    // the raster must round-trip EXACTLY, unlike the JPEG tolerance.
-    Seq("bmp", "tiff").foreach { container =>
+  test("decodeImage sniffs foreign containers it was never tuned for (BMP, TIFF, GIF)") {
+    // more containers through the SAME seam: the reader is discovered
+    // from the bytes, so containers the pipeline has never shipped
+    // must decode with zero code changes. All are lossless — the
+    // raster must round-trip EXACTLY, unlike the JPEG tolerance. GIF
+    // exercises the palette-indexed path: its raster holds palette
+    // INDICES, so the seam must resolve through the color model.
+    Seq("bmp", "tiff", "gif").foreach { container =>
       val w = 13; val h = 7
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
