@@ -77,6 +77,10 @@ object GraftFunctions {
       "graft_hash60",
       (exprs: Seq[Expression]) => Hash60(exprs.head),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv",
+      (exprs: Seq[Expression]) => KmvSketch.fromExprs(exprs),
+      "built-in")
   }
 }
 
@@ -96,5 +100,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[Hash60].getCanonicalName, "graft_hash60"),
       (exprs: Seq[Expression]) => Hash60(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kmv"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[KmvSketch].getCanonicalName, "graft_kmv"),
+      (exprs: Seq[Expression]) => KmvSketch.fromExprs(exprs)))
   }
 }

@@ -672,8 +672,53 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Approximate distinct cardinality via the native [[graft.functions.KmvSketch]]
+    * aggregate: per language, the 64 minimum distinct 60-bit hashes of
+    * the corpus's word-3-gram shingles, with the KMV estimate
+    * (k−1)·2⁶⁰/m_k read off the k-th minimum. Unlike HLL-style
+    * sketches the k minima are a deterministic SET function of the
+    * input — independent of partitioning, order, and engine — so the
+    * gate pins the estimator bit-for-bit; the scale story is the
+    * buffer: a ≤64-long mergeable map-side state per group, so the
+    * exchange carries one tiny array per (group, partition), never the
+    * shingle stream, at any corpus size.
+    */
+  val kmvDistinct = Q(
+    "sketch_kmv_distinct",
+    s"""WITH arrs AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS arr
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT lang, unnest(${CurationQueries.shingle3Sql}) AS s FROM arrs),
+      |dh AS (SELECT DISTINCT lang,
+      |    (('0x' || substr(md5(s), 1, 15))::BIGINT) AS h FROM sh),
+      |rk AS (SELECT lang, h,
+      |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM dh),
+      |kk AS (SELECT lang, CAST(count(*) AS BIGINT) AS k_used,
+      |    CAST(max(h) AS BIGINT) AS kth_min
+      |  FROM rk WHERE rn <= 64 GROUP BY lang)
+      |SELECT lang, k_used, kth_min,
+      |  CAST(CASE WHEN k_used < 64 THEN k_used
+      |    ELSE floor(63.0 * 1152921504606846976.0 / kth_min) END AS BIGINT)
+      |    AS est_distinct
+      |FROM kk ORDER BY lang""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val sh = t(s, dir, "documents")
+      .select(col("lang"), split(lower(col("text")), " ").as("arr"))
+      .where(size(col("arr")) >= 3)
+      .select(col("lang"), explode(expr(CurationQueries.shingle3Spark)).as("s"))
+    sh.groupBy("lang")
+      .agg(expr("graft_kmv(graft_hash60(s), 64)").as("hs"))
+      .select(col("lang"),
+        size(col("hs")).cast(LongType).as("k_used"),
+        element_at(col("hs"), size(col("hs"))).as("kth_min"),
+        when(size(col("hs")) < 64, size(col("hs")).cast(LongType))
+          .otherwise(expr(
+            "cast(floor(63.0 * 1152921504606846976.0 / element_at(hs, size(hs))) as bigint)"))
+          .as("est_distinct"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, vocabulary, tfidf, unigramLm,
       cdcChunks, bpePairs, bpeMergeLoop, bpeEncode, fixedChunks,
-      invertedIndex, lineDedup)
+      invertedIndex, lineDedup, kmvDistinct)
 }
