@@ -40,6 +40,25 @@ class KmvSketchSpec extends SparkTestBase {
     assert(sketch(1) == sketch(13))
   }
 
+  test("sketch algebra: merging per-group sketches equals the union's sketch") {
+    // KMV's defining property: the k minima of a union are computable
+    // from the k minima of its parts — what lets a 100 TB corpus keep
+    // one tiny sketch per partition/day/source and still answer
+    // global-distinct questions without touching the data again.
+    val s = registered
+    import s.implicits._
+    val data = (1L to 8000L).map(i => (i % 7, i * 6364136223846793005L % 1000000007L))
+    val perGroup = data.toDF("g", "v")
+      .groupBy("g").agg(expr("graft_kmv(v, 64)").as("hs"))
+      .select(explode(col("hs")).as("v"))
+      .agg(expr("graft_kmv(v, 64)").as("hs"))
+      .collect()(0).getAs[scala.collection.Seq[Long]]("hs").toSeq
+    val global = data.toDF("g", "v")
+      .agg(expr("graft_kmv(v, 64)").as("hs"))
+      .collect()(0).getAs[scala.collection.Seq[Long]]("hs").toSeq
+    assert(perGroup == global)
+  }
+
   test("estimator lands near the true per-language shingle cardinality") {
     val s = registered
     val q = queries.TextQueries.kmvDistinct
