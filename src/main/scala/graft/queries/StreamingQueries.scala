@@ -297,8 +297,70 @@ object StreamingQueries {
     }
   }
 
+  /** Streaming KMV sketch ≡ batch `graft_kmv` aggregate: documents are
+    * replayed in 4 micro-batches, shingled and hashed IN the stream,
+    * and folded into ≤64-long `mapGroupsWithState` state per language
+    * ([[graft.streaming.StreamingKmv]]). The gate reuses the batch
+    * query's oracle VERBATIM — the k minima are an order- and
+    * batch-independent set function of the stream, so the final emitted
+    * sketch must equal the batch aggregate bit-for-bit, micro-batch
+    * boundaries and all. The scale story is the state bound: a key's
+    * state is k longs forever, no watermark, no eviction — the sketch
+    * of an unbounded stream never grows.
+    */
+  val kmvEquiv = Q(
+    "streaming_kmv_equiv",
+    TextQueries.kmvDistinct.oracle.get) { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    graft.functions.GraftFunctions.register(s)
+    val docs = t(s, dir, "documents").select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val n = docs.length
+    val name = "skq_" + java.util.UUID.randomUUID().toString.take(8)
+    val source = MemoryStream[KmvDoc]
+    val hashed = source.toDS().toDF()
+      .select(col("lang"), split(lower(col("text")), " ").as("arr"))
+      .where(size(col("arr")) >= 3)
+      .select(col("lang"), explode(expr(CurationQueries.shingle3Spark)).as("s"))
+      .select(col("lang"), expr("graft_hash60(s)").as("h"))
+      .as[(String, Long)]
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try graft.streaming.StreamingKmv.sketches(hashed, 64)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    try {
+      (0 until 4).foreach { b =>
+        val batch = docs.zipWithIndex
+          .filter { case (_, i) => i.toLong * 4 / n == b.toLong }
+          .map { case ((_, lang, text), _) => KmvDoc(lang, text) }.toSeq
+        if (batch.nonEmpty) {
+          source.addData(batch)
+          query.processAllAvailable()
+        }
+      }
+      s.table(name)
+        .groupBy($"key")
+        .agg(max_by($"mins", $"n").as("hs"))
+        .select($"key".as("lang"),
+          size($"hs").cast(LongType).as("k_used"),
+          element_at($"hs", size($"hs")).as("kth_min"),
+          when(size($"hs") < 64, size($"hs").cast(LongType))
+            .otherwise(expr(
+              "cast(floor(63.0 * 1152921504606846976.0 / element_at(hs, size(hs))) as bigint)"))
+            .as("est_distinct"))
+        .orderBy("lang")
+    } finally {
+      query.stop()
+      s.catalog.dropTempView(name)
+    }
+  }
+
   val all: Seq[Q] = Seq(balancesEquiv, sessionsEquiv, txStatsEquiv,
-    dedupEquiv)
+    dedupEquiv, kmvEquiv)
 }
 
 /** Replay-row shapes for the §2.9 equivalence gates — top-level so
@@ -306,5 +368,6 @@ object StreamingQueries {
   */
 final case class TxStatRow(ts: java.sql.Timestamp, valid: Boolean,
     amountUnits: Long)
+final case class KmvDoc(lang: String, text: String)
 final case class DedupDoc(ts: java.sql.Timestamp, docId: Long,
     text: String)
