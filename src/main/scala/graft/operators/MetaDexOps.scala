@@ -66,6 +66,13 @@ object MetaDexOps {
 
     // Dedup guard (sql.py:2063-2069): a match is listed on BOTH sides;
     // apply it only on the later tx (matchSerial < txSerial).
+    // NOT pinned, deliberately: both derive outputs (trades, ledger)
+    // consume this subtree, so a plan using both evaluates the dedup
+    // joins twice — but caching here was MEASURED NET-NEGATIVE
+    // (metadex_settlement 1.96→3.71 s paying materialization for a
+    // stream it consumes once, vs ~1 s saved in the mixed-type
+    // flagship), and doubling cache pressure on the 1000×-probed
+    // settlement heavyweight risks the round-6 scratch-death class.
     val deduped = exploded
       .join(txInfo.select($"txid".as("mTxid"), $"serial".as("mSerial"),
         $"taker".as("maker")), $"matchTxid" === $"mTxid")

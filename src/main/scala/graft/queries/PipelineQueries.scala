@@ -835,6 +835,11 @@ object PipelineQueries {
         coalesce($"propertyName", lit("")).as("property_name"),
         coalesce($"issuer", lit("")).as("issuer"),
         coalesce($"n_trades", lit(0L)).as("n_trades"))
+      // real invariant (trade counts are non-negative) that Catalyst
+      // cannot prove — without it, a bare count() ELIMINATES the
+      // row-preserving n_trades left join and a benchmark would time
+      // the flagship minus its MatchedTrades leg (PERF.md round 7)
+      .where($"n_trades" >= 0)
       .orderBy("walletId", "address", "propertyId")
   }
 
@@ -1071,6 +1076,11 @@ object PipelineQueries {
           lit("WM").as("walletId")))
     bal.join(wallets, Seq("address"))
       .join(pend, Seq("address"), "left")
+      // pending counts are non-negative — an invariant Catalyst can't
+      // prove, which keeps a bare count() from ELIMINATING the
+      // row-preserving pend left join (and with it the whole mempool
+      // reconcile leg) from a benchmarked plan (PERF.md round 7)
+      .where(coalesce($"n_pending", lit(0L)) >= 0)
       .select($"walletId", $"address", $"propertyId", $"available",
         $"n_entries", $"last_serial",
         coalesce($"n_pending", lit(0L)).as("n_pending"),
