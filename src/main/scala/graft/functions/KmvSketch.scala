@@ -104,13 +104,20 @@ object KmvSketch {
     * foldable integer k.
     */
   def fromExprs(exprs: Seq[Expression]): KmvSketch = {
-    require(exprs.length == 2, "graft_kmv(value, k) takes two arguments")
-    require(exprs(1).foldable, "graft_kmv k must be a literal")
+    def fail(msg: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" -> s"graft_kmv: $msg"))
+    if (exprs.length != 2) fail("graft_kmv(value, k) takes two arguments")
+    if (!exprs(1).foldable) fail("k must be a literal")
+    // Range-check BEFORE narrowing: a Long like 4294967300 would
+    // truncate to 4, pass checkInputDataTypes, and silently run with
+    // the wrong k.
     val k = exprs(1).eval() match {
       case i: Int => i
-      case l: Long => l.toInt
-      case other => throw new IllegalArgumentException(
-        s"graft_kmv k must be integral, got $other")
+      case l: Long if l >= 1L && l <= (1L << 20) => l.toInt
+      case l: Long => fail(s"k out of range: $l (must be in [1, 2^20])")
+      case other => fail(s"k must be integral, got $other")
     }
     KmvSketch(exprs.head, k)
   }

@@ -378,24 +378,33 @@ object Multimodal {
       val h = img.getHeight
       val px = new Array[Int](w * h)
       // Palette-indexed containers (GIF, indexed PNG/BMP) store the
-      // PALETTE INDEX in the raster, not the sample value — resolve
-      // through the color model (identity for an achromatic palette,
-      // integer BT.601 luma otherwise). Single-band non-indexed images
-      // keep the direct raster path: getRGB would run them through the
-      // gray→sRGB transfer curve and corrupt exactness.
+      // PALETTE INDEX in the raster, not the sample value — ONLY they
+      // resolve through the color model via getRGB (identity for an
+      // achromatic palette, integer BT.601 luma otherwise). Every
+      // non-indexed image reads raw raster samples: gray and
+      // gray+alpha take band 0, color takes BT.601 over bands 0..2
+      // (logical band order is R,G,B regardless of buffer layout).
+      // getRGB on these would clamp to 8-bit sRGB and apply the
+      // gray→sRGB transfer curve — corrupting 16-bit and linear-gray
+      // inputs, which is exactly what the raster path preserves.
       val indexed =
-        img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel] ||
-          raster.getNumBands > 1
+        img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+      val colorBands = if (raster.getNumBands >= 3) 3 else 1
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
           px(y * w + x) =
-            if (!indexed) raster.getSample(x, y, 0)
-            else {
+            if (indexed) {
               val rgb = img.getRGB(x, y)
               val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
               val b = rgb & 0xff
+              if (r == g && g == b) r else (r * 299 + g * 587 + b * 114 + 500) / 1000
+            } else if (colorBands == 1) raster.getSample(x, y, 0)
+            else {
+              val r = raster.getSample(x, y, 0)
+              val g = raster.getSample(x, y, 1)
+              val b = raster.getSample(x, y, 2)
               if (r == g && g == b) r else (r * 299 + g * 587 + b * 114 + 500) / 1000
             }
           x += 1

@@ -219,11 +219,13 @@ object SimilarityQueries {
 
   // Deterministic Lloyd k-means (graft.operators.KMeans) unrolled to
   // SQL: c0 = init vectors, a1 = first assignment, c1 = floor-mean
-  // update, a2 = final assignment. Shared by the trainer gate and the
-  // IVF probe path.
-  private val kmeansSql =
+  // update, a2 = final assignment. Shared by the trainer gate, the
+  // IVF probe path, and both semantic-dedup gates; `kExpr` is the
+  // cluster count as a SQL expression (a literal for the fixed-k
+  // gates, a scalar subquery for the √N production regime).
+  private def kmeansSqlK(kExpr: String) =
     s"""$quantizedSql,
-      |c0 AS (SELECT vec_id AS cid, q AS c, nq AS nc FROM qn WHERE vec_id < 8),
+      |c0 AS (SELECT vec_id AS cid, q AS c, nq AS nc FROM qn WHERE vec_id < $kExpr),
       |a1 AS (
       |  SELECT vec_id, q, cluster FROM (
       |    SELECT e.vec_id, e.q, c.cid AS cluster,
@@ -247,6 +249,8 @@ object SimilarityQueries {
       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
       |        e.nq - 2*CAST(list_dot_product(e.q, c.c) AS BIGINT) + c.nc, c.cid) AS rn
       |    FROM qn e CROSS JOIN c1n c) WHERE rn = 1)""".stripMargin
+
+  private val kmeansSql = kmeansSqlK("8")
 
   /** Deterministic k-means assignment after 2 Lloyd rounds — the IVF
     * coarse-quantizer trainer as a first-class gated operator. See
@@ -328,9 +332,15 @@ object SimilarityQueries {
     * 100 TB the cluster count grows ~√N so the per-cell quadratic
     * stays bounded, the cluster id is the one shuffle key, and the
     * keep/drop verdict is a per-vector aggregate (min dup_of), never a
-    * global structure. Keep rule = min-id survivor, the same greedy
-    * first-occurrence rule as the exact-dedup family, so the output is
-    * deterministic under any execution order.
+    * global structure. Keep rule: a vector is a duplicate iff ANY
+    * lower-id member of its cluster is within threshold — suppressors
+    * need not themselves be keepers (on a non-transitive chain a~b~c
+    * with cos(a,c) < t, c is dropped because of b even though b was
+    * itself dropped). This is NOT the greedy keep-set rule (which
+    * would keep c); it is a per-vector predicate, which is what makes
+    * the verdict a single aggregate with no sequential dependency —
+    * deterministic under any execution order, and the oracle computes
+    * the same predicate.
     */
   val semanticDedup = Q(
     "dedup_semantic",
@@ -353,10 +363,57 @@ object SimilarityQueries {
       |  coalesce(d.dup_of, CAST(-1 AS BIGINT)) AS dup_of,
       |  coalesce(d.max_cos, CAST(-1 AS BIGINT)) AS max_cos
       |FROM a2 a LEFT JOIN dup d ON a.vec_id = d.vec_id
-      |ORDER BY a.vec_id""".stripMargin) { (s, dir) =>
+      |ORDER BY a.vec_id""".stripMargin)(semanticBody(_, _, _ => 8))
+
+  /** The same SemDeDup operator in its PRODUCTION regime: k = ⌈√N⌉
+    * (SemDeDup's own cluster-count rule — keeps expected cell size √N,
+    * so total pair work stays ~N^1.5 instead of N²/k for a fixed k).
+    * The one driver-side scalar (corpus count → k) is the same class
+    * as the k·dim centroid collect; the oracle derives k from the same
+    * count via a scalar subquery. At sf0.01 this runs k=23 over 500
+    * vectors; at the 200k-vector probe corpus it is k=448 — the regime
+    * where banding R collapses to 1 because k alone already spreads
+    * the scan over every core.
+    */
+  val semanticDedupSqrtK = Q(
+    "dedup_semantic_sqrtk",
+    s"""WITH ${kmeansSqlK(
+         "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM qn)")},
+      |pairs AS (
+      |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+      |    CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
+      |    a.nq AS na, b.nq AS nb
+      |  FROM a2 a JOIN a2 b
+      |    ON a.cluster = b.cluster AND b.vec_id < a.vec_id),
+      |dup AS (
+      |  SELECT ida AS vec_id, CAST(min(idb) AS BIGINT) AS dup_of,
+      |    CAST(max(cm) AS BIGINT) AS max_cos
+      |  FROM (SELECT ida, idb,
+      |      CAST(floor(1000000.0 * dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cm
+      |    FROM pairs)
+      |  WHERE cm >= 250000 GROUP BY ida)
+      |SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+      |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+      |  coalesce(d.dup_of, CAST(-1 AS BIGINT)) AS dup_of,
+      |  coalesce(d.max_cos, CAST(-1 AS BIGINT)) AS max_cos
+      |FROM a2 a LEFT JOIN dup d ON a.vec_id = d.vec_id
+      |ORDER BY a.vec_id""".stripMargin)(
+    semanticBody(_, _, n => math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)))
+
+  /** Shared SemDeDup body; `kOf` maps corpus size → cluster count.
+    * Banding R is DERIVED from k (not a constant): the banded triangle
+    * join exists to spread the per-cluster quadratic scan over cores,
+    * so R targets ~8 tasks per core over the k·R (cluster, band) keys
+    * and collapses to 1 once k alone saturates the cores — the fixed
+    * R=16 of round 7 over-replicated the left side exactly when k was
+    * already large.
+    */
+  private def semanticBody(s: SparkSession, dir: String,
+      kOf: Long => Int): DataFrame = {
     import graft.operators.KMeans
     val base = Q.persistScoped(quantized(s, dir))
-    val cs = KMeans.centroids(base, 8, 2)
+    val k = kOf(base.count())
+    val cs = KMeans.centroids(base, k, 2)
     // both sides of the intra-cluster self-join scan the assignment
     val assigned = Q.persistScoped(
       KMeans.assign(base, cs).select("vec_id", "cluster", "q", "nq"))
@@ -369,7 +426,8 @@ object SimilarityQueries {
     // (cluster, band) — k·R keys — so the same work spreads over every
     // core. Left shuffle volume grows ×R; pair count (the dominant
     // cost) is unchanged.
-    val R = 16
+    val R = math.max(1, math.ceil(
+      8.0 * s.sparkContext.defaultParallelism / k).toInt)
     val a = assigned.select(col("vec_id").as("ida"), col("cluster"),
       col("q").as("qa"), col("nq").as("na"))
       .withColumn("bb", explode(sequence(lit(0), lit(R - 1))))
@@ -396,5 +454,6 @@ object SimilarityQueries {
   }
 
   val all: Seq[Q] =
-    Seq(annBrute, annLsh, cosineNear, kmeansAssign, annIvf, semanticDedup)
+    Seq(annBrute, annLsh, cosineNear, kmeansAssign, annIvf, semanticDedup,
+      semanticDedupSqrtK)
 }

@@ -29,6 +29,22 @@ class KmvSketchSpec extends SparkTestBase {
     assert(all == vals.distinct.sorted)
   }
 
+  test("k is range-checked BEFORE narrowing to Int") {
+    val s = registered
+    import s.implicits._
+    val df = Seq(1L, 2L, 3L).toDF("v")
+    // 2^32 + 4 truncates to 4 under a bare toInt — must error, not
+    // silently run with k=4
+    val e = intercept[Exception] {
+      df.agg(expr("graft_kmv(v, 4294967300)")).collect()
+    }
+    assert(e.getMessage.contains("out of range"), e.getMessage)
+    // k=1 (the smallest legal k, as a BIGINT literal) still works
+    val one = df.agg(expr("graft_kmv(v, 1)"))
+      .collect()(0).getAs[scala.collection.Seq[Long]](0).toSeq
+    assert(one == Seq(1L))
+  }
+
   test("sketch is invariant under partitioning") {
     val s = registered
     import s.implicits._

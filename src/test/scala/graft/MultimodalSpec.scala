@@ -145,6 +145,62 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeImage preserves non-indexed multi-band and deep rasters (gray+alpha, 16-bit, color)") {
+    // Only palette-indexed rasters may resolve through getRGB; every
+    // other image must read raw raster samples. getRGB would (a) apply
+    // the CS_GRAY linear->sRGB transfer curve to gray+alpha pixels and
+    // (b) clamp 16-bit samples to 8 — both silent corruptions on
+    // public-seam inputs none of the synthetic fixtures exercise.
+    val w = 11; val h = 5
+
+    // gray+alpha PNG: 2 bands, band 0 = gray, band 1 = alpha
+    val cs = java.awt.color.ColorSpace.getInstance(
+      java.awt.color.ColorSpace.CS_GRAY)
+    val gaCm = new java.awt.image.ComponentColorModel(cs, true, false,
+      java.awt.Transparency.TRANSLUCENT,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val gaRaster = gaCm.createCompatibleWritableRaster(w, h)
+    val gaImg = new java.awt.image.BufferedImage(gaCm, gaRaster, false, null)
+    (0 until w * h).foreach { i =>
+      gaRaster.setSample(i % w, i / w, 0, (i * 37 + 5) % 256)
+      gaRaster.setSample(i % w, i / w, 1, 128 + i % 100) // alpha, ignored
+    }
+    val gaBos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gaImg, "png", gaBos))
+    val (gaFmt, gaW, gaH, gaPx) = Multimodal.decodeImage(gaBos.toByteArray)
+    assert(gaFmt == "png" && (gaW, gaH) == ((w, h)))
+    assert(gaPx.toSeq == (0 until w * h).map(i => (i * 37 + 5) % 256),
+      "gray+alpha gray band must round-trip exactly (no sRGB curve)")
+
+    // 16-bit gray PNG: samples far above 255 must survive undamaged
+    val deep = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    (0 until w * h).foreach(i =>
+      deep.getRaster.setSample(i % w, i / w, 0, (i * 4001 + 300) % 65536))
+    val dBos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(deep, "png", dBos))
+    val (_, _, _, dPx) = Multimodal.decodeImage(dBos.toByteArray)
+    assert(dPx.toSeq == (0 until w * h).map(i => (i * 4001 + 300) % 65536),
+      "16-bit samples must not clamp to 8-bit")
+
+    // 3-band color: BT.601 over LOGICAL bands 0..2 (R,G,B) even though
+    // the buffer layout is BGR
+    val rgb = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    (0 until w * h).foreach { i =>
+      val r = (i * 53) % 256; val g = (i * 31 + 7) % 256; val b = (i * 11 + 99) % 256
+      rgb.setRGB(i % w, i / w, (r << 16) | (g << 8) | b)
+    }
+    val cBos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(rgb, "png", cBos))
+    val (_, _, _, cPx) = Multimodal.decodeImage(cBos.toByteArray)
+    val expected = (0 until w * h).map { i =>
+      val r = (i * 53) % 256; val g = (i * 31 + 7) % 256; val b = (i * 11 + 99) % 256
+      if (r == g && g == b) r else (r * 299 + g * 587 + b * 114 + 500) / 1000
+    }
+    assert(cPx.toSeq == expected, "BT.601 luma over logical RGB bands")
+  }
+
   test("resizeNN upsamples a foreign image (2x2 -> 4x4 block replication)") {
     val img = new java.awt.image.BufferedImage(2, 2,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)

@@ -284,12 +284,12 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange SinglePartition"),
       s"single-partition exchange in line dedup:\n$p")
     // the dedup-resolution aggregate (groupBy h -> min(doc,chunk))
-    // must not shuffle the line text: every Exchange whose output
-    // includes the md5 column either also carries doc/chunk ids only,
-    // or belongs to the join/rebuild stages that NEED the text. Pin
-    // the resolution agg's shape: a partial_min on a struct exists
-    // (map-side combine), so the exchange after it carries 3 columns.
-    assert(p.contains("partial_min") || p.contains("min("), p)
+    // must not shuffle the line text: a map-side PARTIAL min must run
+    // before the exchange, so what crosses it is (hash, min-struct)
+    // only. `min(` alone would match the final aggregate whether or
+    // not a partial exists — pin the partial explicitly.
+    assert(p.contains("partial_min"),
+      s"no map-side partial_min before the line-dedup exchange:\n$p")
     releaseScopedCaches()
   }
 }
