@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables.t
@@ -930,8 +931,13 @@ object PipelineQueries {
     * on (prevTxid, n), and pending reconcile is a broadcast-size
     * anti-join — no driver loop anywhere.
     */
-  val e2eIngestChain = Q(
-    "e2e_ingest_chain",
+  /** Oracle for the BTC+Omni chain pipeline — shared VERBATIM by the
+    * batch flagship and its streaming ingest twin
+    * (`streaming_chain_equiv`): the final served table is the same
+    * relation whether the confirmed feed arrived as one batch or as N
+    * watermark-gated block-range commits.
+    */
+  private[queries] val chainOracleSql =
     """WITH cust AS (SELECT c_custkey AS ck,
       |    CAST(c_nationkey AS BIGINT) AS nk,
       |    row_number() OVER (ORDER BY c_custkey) AS rc FROM customer),
@@ -979,7 +985,41 @@ object PipelineQueries {
       |  coalesce(p.pending_sats, 0) AS pending_sats
       |FROM bal b JOIN wmap w ON b.address = w.address
       |LEFT JOIN pend p ON b.address = p.address
-      |ORDER BY b.address, b.propertyId""".stripMargin) { (s, dir) =>
+      |ORDER BY b.address, b.propertyId""".stripMargin
+
+  val e2eIngestChain = Q("e2e_ingest_chain", chainOracleSql) { (s, dir) =>
+    import s.implicits._
+    val conf = chainOrders(s, dir).where($"conf")
+      .select($"ok", $"ck", $"nk", $"amt", $"pay", $"omni")
+      .as[(Long, Long, Long, Long, Long, Boolean)]
+    chainServe(s, dir, conf)
+  }
+
+  /** The chain pipeline's node feed: every order joined to its
+    * customer, with pay/confirmation/Omni-carrier flags (all
+    * deterministic functions of the order key).
+    */
+  private[queries] def chainOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer")
+      .select($"c_custkey".as("ck2"), $"c_nationkey".cast(LongType).as("nk"))
+    t(s, dir, "orders")
+      .select($"o_orderkey".as("ok"), $"o_custkey".as("ck"),
+        round($"o_totalprice" * 100).cast(LongType).as("amt"))
+      .join(cust, $"ck" === $"ck2")
+      .select($"ok", $"ck", $"nk", $"amt",
+        ($"amt" % 1000 + 1).as("pay"),
+        ($"ok" % 7 =!= 3).as("conf"), ($"ok" % 3 === 0).as("omni"))
+  }
+
+  /** The chain pipeline's derivation + serving from a CONFIRMED feed
+    * (ok, ck, nk, amt, pay, omni) — shared by the batch flagship and
+    * the streaming twin, so "streaming ≡ batch" is a statement about
+    * the INGEST path, not about two copies of the derivation drifting.
+    */
+  private[queries] def chainServe(s: SparkSession, dir: String,
+      conf: org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long, Boolean)])
+      : DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     import graft.operators.{BtcLedger, OmniPipeline, Pending}
@@ -993,17 +1033,8 @@ object PipelineQueries {
     val cb = OmniPipeline.stamp(cust, col("ck")).map { case ((ck, _), rc) =>
       TxOut(s"cb$ck", rc, 0, s"C$ck", Coin)
     }
-    val oo = t(s, dir, "orders")
-      .select($"o_orderkey".as("ok"), $"o_custkey".as("ck"),
-        round($"o_totalprice" * 100).cast(LongType).as("amt"))
-      .join(cust.toDF("ck2", "nk"), $"ck" === $"ck2")
-      .select($"ok", $"ck", $"nk", $"amt",
-        ($"amt" % 1000 + 1).as("pay"),
-        ($"ok" % 7 =!= 3).as("conf"), ($"ok" % 3 === 0).as("omni"))
+    val oo = chainOrders(s, dir)
     // W1 stamp over confirmed orders (narrow tuples) → tx serials
-    val conf = oo.where($"conf")
-      .select($"ok", $"ck", $"nk", $"amt", $"pay", $"omni")
-      .as[(Long, Long, Long, Long, Long, Boolean)]
     val stamped = OmniPipeline.stamp(conf, col("ok"))
       .map { case ((ok, ck, nk, amt, pay, omni), r) =>
         (ok, ck, nk, amt, pay, omni, 1000000L + r)

@@ -359,8 +359,72 @@ object StreamingQueries {
     }
   }
 
+  /** The COMPOSED ingest under streaming (round-7 verdict ask #5): the
+    * chain flagship's confirmed node feed arrives as 4 ascending
+    * block-range parquet drops consumed by a real `readStream` +
+    * `Trigger.AvailableNow` + checkpoint query (restarted per drop —
+    * the production file path, not MemoryStream), whose `foreachBatch`
+    * runs the [[graft.streaming.IncrementalIngest]] cycle: admit
+    * blocks > the sink watermark, rewrite affected tail ranges of the
+    * [[graft.sinks.BlockRangeSink]] facts store. A 5th no-new-data
+    * restart plus a deliberate FULL-FEED re-ingest then prove
+    * exactly-once: if either re-admitted anything, every downstream
+    * sum would double and the hash gate would fail. The served table
+    * derives from the facts store via the SAME
+    * [[PipelineQueries.chainServe]] the batch flagship uses, against
+    * the SAME oracle — streaming ≡ batch as a statement about the
+    * ingest path, composed end-to-end.
+    */
+  val chainEquiv = Q(
+    "streaming_chain_equiv",
+    PipelineQueries.chainOracleSql) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sinks.BlockRangeSink
+    import graft.streaming.IncrementalIngest
+
+    val base = java.nio.file.Files.createTempDirectory("graft_chain_stream")
+    val feedDir = base.resolve("feed").toString
+    val factsDir = base.resolve("facts").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    val conf = PipelineQueries.chainOrders(s, dir).where($"conf")
+      .select($"ok".as("block"), $"ck", $"nk", $"amt", $"pay", $"omni")
+    val (mn, mx) = conf.agg(min($"block"), max($"block"))
+      .as[(Long, Long)].head()
+
+    def runOnce(): Unit = {
+      val q = s.readStream.schema(conf.schema).parquet(feedDir)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          IncrementalIngest.ingestFrame(s, b, factsDir); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    (0L to 3L).foreach { b =>
+      // ascending block ranges: (block-mn)*4 div span is 0..3 exactly
+      // (integer `div`, not `/` — Column./ on longs yields DOUBLE)
+      conf.where(expr(s"(block - $mn) * 4 div ${mx - mn + 1}") === b)
+        .write.mode("append").parquet(feedDir)
+      runOnce()
+    }
+    runOnce() // no-new-files restart: the file-source log must admit nothing
+    // crashed-batch replay: all blocks <= watermark, must admit nothing
+    IncrementalIngest.ingestFrame(s, conf, factsDir)
+
+    val confBack = BlockRangeSink.read(s, factsDir)
+      .select($"block".as("ok"), $"ck", $"nk", $"amt", $"pay", $"omni")
+      .as[(Long, Long, Long, Long, Long, Boolean)]
+    PipelineQueries.chainServe(s, dir, confBack)
+  }
+
   val all: Seq[Q] = Seq(balancesEquiv, sessionsEquiv, txStatsEquiv,
-    dedupEquiv, kmvEquiv)
+    dedupEquiv, kmvEquiv, chainEquiv)
 }
 
 /** Replay-row shapes for the §2.9 equivalence gates — top-level so

@@ -37,23 +37,32 @@ object IncrementalIngest {
     * tail ranges. Returns the number of newly ingested txs.
     */
   def ingest(spark: SparkSession, raw: Dataset[RawTx],
+      factsDir: String): Long =
+    ingestFrame(spark, raw.toDF(), factsDir)
+
+  /** [[ingest]] for an arbitrary fact schema (any frame with a `block`
+    * column) — the sink itself is schema-agnostic, so composed
+    * pipelines whose facts are not RawTx-shaped (e.g. the BTC chain
+    * feed) share the same admit + tail-rewrite cycle.
+    */
+  def ingestFrame(spark: SparkSession, raw: org.apache.spark.sql.DataFrame,
       factsDir: String): Long = {
-    import spark.implicits._
     val wm = BlockRangeSink.watermark(spark, factsDir)
     val fresh = raw.filter(col("block") > wm)
     val n = fresh.count()
     if (n > 0) {
       val batch =
-        if (wm < 0) fresh.toDF()
+        if (wm < 0) fresh
         else {
           val affected = fresh
             .select((col("block") / BlockRangeSink.RangeSize).cast("long")
               .as("r")).distinct()
-          val existingInAffected = readFacts(spark, factsDir)
+          val existingInAffected = BlockRangeSink.read(spark, factsDir)
+            .drop("blockRange")
             .join(broadcast(affected),
               (col("block") / BlockRangeSink.RangeSize).cast("long") === col("r"),
               "left_semi")
-          existingInAffected.toDF().unionByName(fresh.toDF())
+          existingInAffected.unionByName(fresh)
         }
       BlockRangeSink.write(batch, factsDir)
     }
