@@ -508,10 +508,18 @@ object PipelineQueries {
       |LEFT JOIN ntr t ON b.address = t.taddr
       |ORDER BY w.walletId, b.address, b.propertyId""".stripMargin) {
     (s, dir) =>
+    val (raw, tip) = fullRaw(s, dir)
+    fullServe(s, dir, raw, tip)
+  }
+
+  /** The 19-type flagship's node feed: the union of raw JSON payload
+    * legs plus the serve-time tip, factored out so the reorg spec can
+    * replay a truncated prefix through the identical builder.
+    */
+  private[graft] def fullRaw(s: SparkSession, dir: String)
+      : (DataFrame, Long) = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    import graft.operators.OmniPipeline
-    import graft.serving.WalletViews
 
     val Supply = 1000000000000L
     val nn = t(s, dir, "nation")
@@ -749,6 +757,21 @@ object PipelineQueries {
     val raw = Seq(jact, j50, j51, j185, j20, jsend, jfrz, jall, jsto,
       jacc, jcrowd, jtrade, jembed, jpur, jclose, j54, j55, j56, j70,
       jmx).reduce(_ unionByName _)
+    (raw, tip)
+  }
+
+  /** Parse → stamp → 19-type derive → serve, from a raw payload feed.
+    * `fork` applies the M4 truncation ([[OmniPipeline.truncate]]) to
+    * the PARSED tx stream before derivation — the rollback path the
+    * reorg spec compares against a fresh run of the truncated prefix.
+    */
+  private[graft] def fullServe(s: SparkSession, dir: String,
+      raw: DataFrame, tip: Long, fork: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    import graft.operators.OmniPipeline
+    import graft.serving.WalletViews
+    val nn = t(s, dir, "nation")
+      .select($"n_nationkey".cast(LongType).as("nk"))
 
     // S2: one schema'd JacksonParser pass over the union
     val parsed = raw
@@ -794,7 +817,8 @@ object PipelineQueries {
     }
 
     // the full pipeline: stamper → decoder/DEx/registry/freeze → balances
-    val d = OmniPipeline.derive(txs, tip)
+    val admitted = fork.fold(txs)(f => OmniPipeline.truncate(txs, f))
+    val d = OmniPipeline.derive(admitted, tip)
     val balances = d.balances.transform(Q.persistScoped)
     // EAGER: the serving view and the per-key detail both consume
     // balances; unpersisted, the whole stamp+fold chain runs twice.
