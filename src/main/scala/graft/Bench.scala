@@ -67,13 +67,22 @@ object Bench {
         }
       }
     }
+    // SPARK_GRAFT_ACTION=count re-enables the legacy count() action for
+    // MEASUREMENT EXPERIMENTS ONLY (the bench-action audit, and
+    // apples-to-apples A/B against pre-r8 builds whose Bench hardcoded
+    // count). The default — and every reported BENCH_r{N} — is fullEval.
+    val legacyCount = sys.env.get("SPARK_GRAFT_ACTION").contains("count")
     // (seconds, succeeded) — a failed run must never improve the
     // reported minimum or hide behind a fast exception.
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
-        try { fullEval(fn(spark, sfDir)); true }
+        try {
+          val df = fn(spark, sfDir)
+          if (legacyCount) { df.count(); () } else fullEval(df)
+          true
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] query failed: ${e.getMessage}")
           false
