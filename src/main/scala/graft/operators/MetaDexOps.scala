@@ -24,18 +24,23 @@ object MetaDexOps {
     * maker-reserved→taker-available (fee recorded on the trade row,
     * deducted from the received leg as in the reference).
     *
-    * Shuffle discipline (the send_all treatment): the exploded
-    * per-match stream — the widest leg, ~2 matches per listing — enters
-    * the dedup join as (serial, matchTxid, 3 base amounts), NOT the
-    * full tx row. Every tx-level field (txid, taker, pids, block)
-    * re-attaches AFTER dedup halves the stream, via an equi-join on the
-    * NUMERIC serial key against the one-row-per-listing dimension; the
-    * maker's address rides the dimension side of the dedup join itself.
-    * The maker is the matched listing's sendingaddress — definitionally
-    * the same address the node reports inside the match object
-    * (sql.py:2078-2101 reads it from the counterpart row it just
-    * looked up by txid), so settlement never ships the match-embedded
-    * copy of the string through the wide leg.
+    * Join shape — ONE dedup join over full match rows, deliberately
+    * NOT the narrow-tuples-then-reattach variant. Round 7 shipped a
+    * "send_all treatment" (tx fields re-attached post-dedup on the
+    * numeric serial key) on the theory that wide rows through the
+    * dedup join caused round 6's measured last-decade bend; round 8's
+    * same-session A/B falsified both halves: the bend reproduces with
+    * EITHER shape (it is the one-box disk boundary — the r6 build
+    * itself reads 33×/decade on the r8 box vs its recorded 14.6×),
+    * and the narrow variant was consistently SLOWER (1×: 2.31→2.68 s,
+    * 100×: 38.9→41.6 s, 1000×: 1287→1358 s, count-action A/B; wide
+    * also wins under the r8 fullEval action, 3.15 vs 3.65 at 1× and
+    * 46.8 vs 49.7 at 100×) — the second shuffle join costs more than
+    * the thinner dedup rows save, at every scale measured (PERF.md
+    * round 8). The maker address is taken from the match object; it
+    * is definitionally the matched listing's sendingaddress
+    * (sql.py:2078-2101 reads it from the counterpart row it looks up
+    * by txid), so either source is valid.
     */
   def derive(txs: Dataset[(RawTx, Long)]): (Dataset[MatchedTrade], Dataset[LedgerEntry]) = {
     val spark = txs.sparkSession
@@ -44,43 +49,32 @@ object MetaDexOps {
     val metaTxs = txs.filter(t =>
       (t._1.type_int == 21 || t._1.type_int == 25) && t._1.valid)
 
-    // One narrow row per listing: the string match key (txid), the
-    // numeric re-attach key (serial), and the tx-level settlement fields.
-    val txInfo = metaTxs
-      .map { case (tx, s) =>
-        (s, tx.txid, tx.sendingaddress, tx.propertyid, tx.propertyiddesired,
-          tx.block)
-      }
-      .toDF("serial", "txid", "taker", "pidSold", "pidRecv", "block")
+    val serialByTxid = metaTxs
+      .map { case (tx, s) => (tx.txid, s) }
+      .toDF("mTxid", "mSerial")
 
-    // Narrow per-match tuples into the dedup join: 2 longs + the txid
-    // reference + 3 base amounts per row.
     val exploded = metaTxs.flatMap { case (tx, serial) =>
       tx.matches.map { m =>
-        (serial, m.txid,
+        MatchRow(serial, tx.txid, tx.sendingaddress, tx.propertyid,
+          tx.propertyiddesired, tx.block, m.txid, m.address,
           toBase(m.amountsold, tx.divisible),
           toBase(m.amountreceived, tx.desireddivisible),
           toBase(m.tradingfee, tx.desireddivisible))
       }
-    }.toDF("serial", "matchTxid", "amountSold", "amountReceived", "fee")
+    }
 
     // Dedup guard (sql.py:2063-2069): a match is listed on BOTH sides;
     // apply it only on the later tx (matchSerial < txSerial).
     // NOT pinned, deliberately: both derive outputs (trades, ledger)
     // consume this subtree, so a plan using both evaluates the dedup
-    // joins twice — but caching here was MEASURED NET-NEGATIVE
+    // join twice — but caching here was MEASURED NET-NEGATIVE
     // (metadex_settlement 1.96→3.71 s paying materialization for a
     // stream it consumes once, vs ~1 s saved in the mixed-type
-    // flagship), and doubling cache pressure on the 1000×-probed
-    // settlement heavyweight risks the round-6 scratch-death class.
+    // flagship; re-measured round 8 on this shape — see PERF.md).
     val deduped = exploded
-      .join(txInfo.select($"txid".as("mTxid"), $"serial".as("mSerial"),
-        $"taker".as("maker")), $"matchTxid" === $"mTxid")
+      .join(serialByTxid, $"matchTxid" === $"mTxid")
       .where($"mSerial" < $"serial")
-      .select($"serial", $"matchTxid", $"maker",
-        $"amountSold", $"amountReceived", $"fee")
-      // tx-level fields re-attach on the numeric serial key, post-dedup
-      .join(txInfo, Seq("serial"))
+      .drop("mTxid", "mSerial")
       .as[MatchRow]
 
     val trades = deduped.map { r =>
