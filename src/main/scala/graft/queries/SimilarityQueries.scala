@@ -44,7 +44,7 @@ object SimilarityQueries {
   // codegen'd native expression (graft.functions.LongArrayDot)
   private val sparkDot = "graft_ldot(qa, qb)"
   private val cosMicros =
-    "cast(floor(1000000.0 * dot / sqrt(cast(na as double) * cast(nb as double))) as bigint)"
+    "cast(floor(1e6 * cast(dot as double) / sqrt(cast(na as double) * cast(nb as double))) as bigint)"
 
   /** Brute-force cosine top-k for a fixed query set (vec_id < 8) over
     * all candidates — the exact baseline every ANN variant is measured
@@ -68,7 +68,7 @@ object SimilarityQueries {
       |  WHERE a.vec_id < 8),
       |scored AS (
       |  SELECT qid, cid,
-      |    CAST(floor(1000000.0 * dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cos_micros
+      |    CAST(floor(1e6 * CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cos_micros
       |  FROM pairs),
       |ranked AS (
       |  SELECT qid, cid, cos_micros,
@@ -132,7 +132,7 @@ object SimilarityQueries {
       |  WHERE a.vec_id < 8),
       |scored AS (
       |  SELECT qid, bucket, cid,
-      |    CAST(floor(1000000.0 * dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cos_micros
+      |    CAST(floor(1e6 * CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cos_micros
       |  FROM pairs),
       |ranked AS (
       |  SELECT qid, bucket, cid, cos_micros,
@@ -175,9 +175,9 @@ object SimilarityQueries {
       |    ON a.label = b.label AND a.bucket = b.bucket
       |   AND a.vec_id < b.vec_id)
       |SELECT id_a, id_b, label, bucket,
-      |  CAST(floor(1000000.0 * dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cos_micros
+      |  CAST(floor(1e6 * CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cos_micros
       |FROM pairs
-      |WHERE floor(1000000.0 * dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) >= 250000
+      |WHERE floor(1e6 * CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) >= 250000
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     val bk = buckets(quantized(s, dir))
     val a = bk.select(col("vec_id").as("id_a"), col("label"), col("bucket"),
@@ -296,7 +296,7 @@ object SimilarityQueries {
       |  JOIN a2 a ON a.cluster = pc.ccid AND a.vec_id <> pc.qid),
       |scored AS (
       |  SELECT qid, cid,
-      |    CAST(floor(1000000.0 * dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cos_micros
+      |    CAST(floor(1e6 * CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cos_micros
       |  FROM pairs),
       |ranked AS (
       |  SELECT qid, cid, cos_micros,
@@ -355,7 +355,7 @@ object SimilarityQueries {
       |  SELECT ida AS vec_id, CAST(min(idb) AS BIGINT) AS dup_of,
       |    CAST(max(cm) AS BIGINT) AS max_cos
       |  FROM (SELECT ida, idb,
-      |      CAST(floor(1000000.0 * dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cm
+      |      CAST(floor(1e6 * CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cm
       |    FROM pairs)
       |  WHERE cm >= 250000 GROUP BY ida)
       |SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
@@ -389,7 +389,7 @@ object SimilarityQueries {
       |  SELECT ida AS vec_id, CAST(min(idb) AS BIGINT) AS dup_of,
       |    CAST(max(cm) AS BIGINT) AS max_cos
       |  FROM (SELECT ida, idb,
-      |      CAST(floor(1000000.0 * dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cm
+      |      CAST(floor(1e6 * CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cm
       |    FROM pairs)
       |  WHERE cm >= 250000 GROUP BY ida)
       |SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
