@@ -278,6 +278,18 @@ class PlanSpec extends SparkTestBase {
     releaseScopedCaches()
   }
 
+  test("semantic dedup at production k: same plan hygiene as the fixed-k gate") {
+    // k = ceil(sqrt N) and derived banding must not change the plan
+    // class: the pair scan stays an equi-join keyed on (cluster[,band]),
+    // never a cartesian/nested-loop, and nothing funnels one partition
+    val p = plan(graft.queries.SimilarityQueries.semanticDedupSqrtK)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in sqrt-k semantic dedup:\n$p")
+    releaseScopedCaches()
+  }
+
   test("line dedup: first-occurrence exchange carries hash+ids, never the line text") {
     val q = graft.queries.TextQueries.lineDedup.run(spark, dir)
     val p = q.queryExecution.executedPlan.toString
