@@ -121,14 +121,22 @@ object MetaDexOps {
       .join(serialByTxid, $"matchTxid" === $"mTxid")
       .where($"mSerial" < $"serial")
 
-    val soldAsTaker = deduped.groupBy($"serial".as("tSerial"))
-      .agg(sum($"sold").as("takerSold"))
-    val soldAsMaker = deduped.groupBy($"mSerial".as("kSerial"))
-      .agg(sum($"received").as("makerSold"))
+    // Both deductions fold into ONE keyed aggregate (taker side keyed
+    // on serial, maker side on mSerial, unioned) so the big offers
+    // stream is shuffled through ONE left join instead of two — at
+    // scale each extra join is a full exchange of the offer book. The
+    // union's two branches share the deduped subtree, so ReuseExchange
+    // computes the dedup shuffle once.
+    val contrib = deduped
+      .select($"serial".as("dSerial"), $"sold".as("s"), lit(0L).as("r"))
+      .unionByName(deduped
+        .select($"mSerial".as("dSerial"), lit(0L).as("s"),
+          $"received".as("r")))
+      .groupBy($"dSerial")
+      .agg(sum($"s").as("takerSold"), sum($"r").as("makerSold"))
 
     offers
-      .join(soldAsTaker, $"serial" === $"tSerial", "left")
-      .join(soldAsMaker, $"serial" === $"kSerial", "left")
+      .join(contrib, $"serial" === $"dSerial", "left")
       .select($"serial", $"txid", $"seller", $"pidSold", $"pidRecv",
         $"reserve",
         ($"reserve" - coalesce($"takerSold", lit(0L)) -

@@ -600,15 +600,18 @@ object AggQueries {
       .select(col("l_returnflag"),
         round(col("l_extendedprice") * 100).cast(LongType).as("cents"))
       .groupBy("l_returnflag")
+      // ONE percentile buffer for all four quantiles (array form), not
+      // four independent exact-percentile aggregates each holding its
+      // own value→count map — measured 3.5→~1 s at sf0.1 once the r8
+      // fullEval action stopped count() from pruning the buffers away
       .agg(count(lit(1)).as("n"),
-        floor(expr("8 * percentile(cents, 0.25)")).cast(LongType)
-          .as("p25_8ths"),
-        floor(expr("8 * percentile(cents, 0.50)")).cast(LongType)
-          .as("p50_8ths"),
-        floor(expr("8 * percentile(cents, 0.75)")).cast(LongType)
-          .as("p75_8ths"),
-        floor(expr("8 * percentile(cents, 0.875)")).cast(LongType)
-          .as("p875_8ths"))
+        expr("percentile(cents, array(0.25D, 0.50D, 0.75D, 0.875D))")
+          .as("ps"))
+      .select(col("l_returnflag"), col("n"),
+        floor(col("ps").getItem(0) * 8).cast(LongType).as("p25_8ths"),
+        floor(col("ps").getItem(1) * 8).cast(LongType).as("p50_8ths"),
+        floor(col("ps").getItem(2) * 8).cast(LongType).as("p75_8ths"),
+        floor(col("ps").getItem(3) * 8).cast(LongType).as("p875_8ths"))
       .orderBy("l_returnflag")
   }
 
