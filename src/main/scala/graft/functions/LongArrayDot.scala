@@ -81,6 +81,10 @@ object GraftFunctions {
       "graft_kmv",
       (exprs: Seq[Expression]) => KmvSketch.fromExprs(exprs),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc",
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head),
+      "built-in")
   }
 }
 
@@ -105,5 +109,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[KmvSketch].getCanonicalName, "graft_kmv"),
       (exprs: Seq[Expression]) => KmvSketch.fromExprs(exprs)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NfcNormalize].getCanonicalName, "graft_nfc"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
   }
 }

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Unicode NFC normalization — the canonicalization pass a
+  * training-data pipeline runs BEFORE any content hashing: the same
+  * visible text can arrive precomposed (é = U+00E9) or decomposed
+  * (e + U+0301) depending on the source, and every exact/MinHash/line
+  * dedup keyed on md5(text) silently treats them as distinct documents
+  * unless the corpus is normalized first. Spark has no built-in
+  * normalize; this is the brief's preference order (b) — a codegen'd
+  * `Expression` (one static call per row inside whole-stage codegen)
+  * rather than a UDF with serialization overhead.
+  *
+  * Cross-engine contract: Unicode NFC is fully specified, so Java's
+  * `java.text.Normalizer` (ICU tables) and DuckDB's `nfc_normalize`
+  * (utf8proc) agree byte-for-byte on any valid input — which is what
+  * lets the `text_normalize` gate hash-pin this expression against a
+  * DuckDB oracle. Already-normalized input (all ASCII, most corpus
+  * text) returns the INPUT UTF8String unchanged — no allocation on
+  * the fast path.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override protected def nullSafeEval(s: Any): Any =
+    NfcNormalize.nfc(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** NFC-normalize; returns the input object untouched when already
+    * normalized (the isNormalized quick-check runs the same state
+    * machine without building the output).
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}

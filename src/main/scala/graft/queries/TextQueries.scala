@@ -717,8 +717,51 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Unicode NFC normalization over the corpus — the canonicalization
+    * pass before any content-hash dedup (precomposed é vs decomposed
+    * e+U+0301 are byte-distinct but textually identical; unnormalized,
+    * every md5-keyed dedup keeps both). The fixture plants a decomposed
+    * suffix on every doc (repeat count keyed on doc_id, plus one
+    * already-precomposed char to pin idempotence), runs the native
+    * codegen'd [[graft.functions.NfcNormalize]], and hash-pins the
+    * normalized text against DuckDB's utf8proc `nfc_normalize` — two
+    * independent NFC implementations (ICU tables vs utf8proc) must
+    * agree byte-for-byte, which is exactly the property that makes the
+    * pass safe to run fleet-wide before hashing. Map-side only: no
+    * shuffle except the presentation sort.
+    */
+  val normalize = Q(
+    "text_normalize",
+    """SELECT doc_id,
+      |  CAST(length(raw) AS BIGINT) AS len_raw,
+      |  CAST(length(norm) AS BIGINT) AS len_norm,
+      |  CAST(raw <> norm AS BIGINT) AS changed,
+      |  md5(norm) AS h,
+      |  CAST(norm = nfc_normalize(norm) AS BIGINT) AS idempotent
+      |FROM (SELECT doc_id, raw, nfc_normalize(raw) AS norm
+      |  FROM (SELECT doc_id,
+      |      text || repeat('éöé', 1 + doc_id % 3) AS raw
+      |    FROM documents))
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"),
+          repeat(lit("e\u0301o\u0308\u00e9"),
+            (lit(1) + col("doc_id") % 3).cast(IntegerType))).as("raw"))
+      .withColumn("norm", expr("graft_nfc(raw)"))
+      .select(col("doc_id"),
+        length(col("raw")).cast(LongType).as("len_raw"),
+        length(col("norm")).cast(LongType).as("len_norm"),
+        (col("raw") =!= col("norm")).cast(LongType).as("changed"),
+        md5(col("norm")).as("h"),
+        (col("norm") === expr("graft_nfc(norm)")).cast(LongType)
+          .as("idempotent"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, vocabulary, tfidf, unigramLm,
       cdcChunks, bpePairs, bpeMergeLoop, bpeEncode, fixedChunks,
-      invertedIndex, lineDedup, kmvDistinct)
+      invertedIndex, lineDedup, kmvDistinct, normalize)
 }

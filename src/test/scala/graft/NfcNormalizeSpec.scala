@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the native NFC expression: composition of
+  * decomposed sequences, idempotence, null propagation, and the
+  * codegen path (expressions in a projection run through
+  * whole-stage codegen in these plans). All non-ASCII content is
+  * written as \\u escapes so precomposed-vs-decomposed is explicit
+  * in review, not editor-dependent.
+  */
+class NfcNormalizeSpec extends SparkTestBase {
+
+  private def registered = {
+    graft.functions.GraftFunctions.register(spark)
+    spark
+  }
+
+  private val eAcuteDec = "é"  // decomposed é
+  private val eAcute = "\u00e9"      // precomposed U+00E9
+  private val oUmlDec = "ö"    // decomposed ö
+  private val oUml = "\u00f6"        // precomposed U+00F6
+
+  test("graft_nfc composes decomposed sequences and is idempotent") {
+    val s = registered
+    import s.implicits._
+    val rows = Seq(
+      eAcuteDec,
+      oUmlDec,
+      eAcute,
+      "plain ascii",
+      s"mix $eAcuteDec and $eAcute ok")
+      .toDF("raw")
+      .select($"raw", expr("graft_nfc(raw)").as("n"),
+        length($"raw").as("lr"), length(expr("graft_nfc(raw)")).as("ln"))
+      .collect()
+    assert(rows(0).getString(1) == eAcute)
+    assert(rows(0).getInt(2) == 2 && rows(0).getInt(3) == 1)
+    assert(rows(1).getString(1) == oUml)
+    assert(rows(2).getString(1) == eAcute) // idempotent on NFC input
+    assert(rows(3).getString(1) == "plain ascii")
+    assert(rows(4).getString(1) == s"mix $eAcute and $eAcute ok")
+    // double application is a fixpoint
+    val twice = Seq(eAcuteDec + oUmlDec).toDF("raw")
+      .select(expr("graft_nfc(graft_nfc(raw)) = graft_nfc(raw)").as("fix"))
+      .collect()(0).getBoolean(0)
+    assert(twice)
+  }
+
+  test("graft_nfc propagates null and rejects non-string input") {
+    val s = registered
+    import s.implicits._
+    val n = Seq[Option[String]](None).toDF("raw")
+      .select(expr("graft_nfc(raw)").as("n")).collect()(0)
+    assert(n.isNullAt(0))
+    intercept[Exception] {
+      Seq(1L).toDF("v").select(expr("graft_nfc(v)")).collect()
+    }
+  }
+}
