@@ -492,7 +492,65 @@ object DedupQueries {
       .orderBy("new_id", "old_id")
   }
 
+  /** Exact dedup UNDER NFC normalization — the composition that makes
+    * [[graft.functions.NfcNormalize]] load-bearing: every document is
+    * planted twice, once with a precomposed suffix (U+00E9/U+00F6) and
+    * once with the byte-distinct decomposed spelling (e+U+0301,
+    * o+U+0308) of the SAME visible text. Raw md5 sees 2N distinct
+    * contents (zero duplicate groups — the cross-encoding pair is
+    * invisible to it); md5∘NFC collapses each pair, and the
+    * first-occurrence keeper is the precomposed copy by id order. The
+    * per-language counts pin all three facts at once. Map-side until
+    * the (lang, hash) aggregate — the same scale shape as dedup_exact.
+    */
+  val exactNormalized = Q(
+    "dedup_exact_normalized",
+    """WITH base AS (
+      |  SELECT doc_id, lang, text || 'éö' AS t FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, lang, text || 'éö' FROM documents),
+      |n AS (SELECT doc_id, lang, md5(t) AS hraw,
+      |    md5(nfc_normalize(t)) AS hn FROM base),
+      |k AS (SELECT lang, hn, CAST(min(doc_id) AS BIGINT) AS keeper,
+      |    count(*) AS n_copies
+      |  FROM n GROUP BY 1, 2)
+      |SELECT lang,
+      |  (SELECT count(*) FROM n n2 WHERE n2.lang = k.lang) AS n_rows,
+      |  (SELECT count(DISTINCT hraw) FROM n n3 WHERE n3.lang = k.lang)
+      |    AS distinct_raw,
+      |  count(*) AS distinct_norm,
+      |  CAST(sum(keeper) AS BIGINT) AS keeper_id_sum,
+      |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_groups
+      |FROM k GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val base = docs
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"), lit("\u00e9\u00f6")).as("t"))
+      .unionByName(docs.select((col("doc_id") + 1000000000L).as("doc_id"),
+        col("lang"),
+        concat(col("text"), lit("e\u0301o\u0308")).as("t")))
+    val n = base.select(col("doc_id"), col("lang"),
+      md5(col("t")).as("hraw"), md5(expr("graft_nfc(t)")).as("hn"))
+      .transform(Q.persistScoped)
+    val perLang = n.groupBy("lang")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct("hraw").as("distinct_raw"))
+    n.groupBy(col("lang"), col("hn"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("distinct_norm"),
+        sum("keeper").cast(LongType).as("keeper_id_sum"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).cast(LongType)
+          .as("n_dup_groups"))
+      .join(perLang, Seq("lang"))
+      .select(col("lang"), col("n_rows"), col("distinct_raw"),
+        col("distinct_norm"), col("keeper_id_sum"), col("n_dup_groups"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] =
     Seq(exact, jaccard, clusters, minhashLsh, simhash, retention,
-      incremental)
+      incremental, exactNormalized)
 }
