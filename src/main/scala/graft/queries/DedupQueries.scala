@@ -519,7 +519,7 @@ object DedupQueries {
       |  (SELECT count(DISTINCT hraw) FROM n n3 WHERE n3.lang = k.lang)
       |    AS distinct_raw,
       |  count(*) AS distinct_norm,
-      |  CAST(sum(keeper) AS BIGINT) AS keeper_id_sum,
+      |  CAST(bit_xor(keeper) AS BIGINT) AS keeper_id_xor,
       |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_dup_groups
       |FROM k GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
@@ -541,12 +541,15 @@ object DedupQueries {
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
       .groupBy("lang")
       .agg(count(lit(1)).as("distinct_norm"),
-        sum("keeper").cast(LongType).as("keeper_id_sum"),
+        // bit_xor, not sum: keeper ids at the 100x sweep's shifted-key
+        // scale sum past 2^63 (found by the r8 full scaled sweep);
+        // XOR is a total, order-insensitive checksum at any scale
+        expr("bit_xor(keeper)").cast(LongType).as("keeper_id_xor"),
         sum(when(col("n_copies") > 1, 1L).otherwise(0L)).cast(LongType)
           .as("n_dup_groups"))
       .join(perLang, Seq("lang"))
       .select(col("lang"), col("n_rows"), col("distinct_raw"),
-        col("distinct_norm"), col("keeper_id_sum"), col("n_dup_groups"))
+        col("distinct_norm"), col("keeper_id_xor"), col("n_dup_groups"))
       .orderBy("lang")
   }
 
