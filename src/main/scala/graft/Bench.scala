@@ -157,10 +157,19 @@ object Bench {
     * prune columns — a correct optimization that silently UNDER-TIMED
     * any query ending in a left join against a grouped child (found
     * round 7 on dedup_semantic/e2e_ingest_full and patched pointwise;
-    * this makes the whole registry elimination-proof by construction:
-    * every column is referenced, so nothing upstream is prunable). Map
-    * columns hash via to_json (hash() rejects MapType); the hash+sum
-    * tail itself is codegen'd and stream-shaped, adding no shuffle.
+    * this makes the registry elimination-proof for COLUMNS and
+    * row-preserving operators: every column is referenced, so nothing
+    * upstream is prunable). One residual blind spot remains, by the
+    * same mechanism count() had: a final global ORDER BY is still
+    * removed by EliminateSorts beneath the order-insensitive xor
+    * aggregate, so a query's presentation-sort cost goes untimed. At
+    * scale a global sort is a range-shuffle + per-partition sort of
+    * the FINAL (small) output, so the untimed cost is bounded by
+    * output size, not input size — acceptable for throughput
+    * comparison; time sort-bearing queries with a limit/collect tail
+    * when the sort itself is under study. Map columns hash via
+    * to_json (hash() rejects MapType); the hash+xor tail itself is
+    * codegen'd and stream-shaped, adding no shuffle.
     */
   private def fullEval(df: DataFrame): Unit = {
     val cols = df.schema.fields.map { f =>

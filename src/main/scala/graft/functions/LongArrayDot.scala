@@ -83,7 +83,7 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nfc",
-      (exprs: Seq[Expression]) => NfcNormalize(exprs.head),
+      (exprs: Seq[Expression]) => NfcNormalize.fromExprs(exprs),
       "built-in")
   }
 }
@@ -113,6 +113,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NfcNormalize].getCanonicalName, "graft_nfc"),
-      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+      (exprs: Seq[Expression]) => NfcNormalize.fromExprs(exprs)))
   }
 }

@@ -45,11 +45,44 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 }
 
 object NfcNormalize {
+  /** Build from SQL argument expressions, validating arity — mirrors
+    * KmvSketch.fromExprs so graft_nfc(a, b) is an analysis error, not
+    * a silent drop of the second argument.
+    */
+  def fromExprs(exprs: Seq[Expression]): NfcNormalize = {
+    if (exprs.length != 1) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters =
+          Map("message" -> "graft_nfc(text) takes exactly one argument"))
+    }
+    NfcNormalize(exprs.head)
+  }
+
   /** NFC-normalize; returns the input object untouched when already
-    * normalized (the isNormalized quick-check runs the same state
-    * machine without building the output).
+    * normalized.
+    *
+    * Fast path: a byte-level scan of the raw UTF8String. ASCII bytes
+    * are non-negative in Java's signed byte, and any pure-ASCII string
+    * is NFC by construction (no combining marks, no composition
+    * targets below U+0080), so the corpus majority returns the input
+    * object after one branch-predictable loop over bytes already in
+    * cache — no String materialization, no heap allocation. Only rows
+    * containing a non-ASCII byte pay the toString + isNormalized
+    * quick-check (which runs the NFC state machine without building
+    * the output) and, if actually denormalized, the full normalize.
     */
   def nfc(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    var off = s.getBaseOffset
+    val end = off + n
+    var ascii = true
+    while (ascii && off < end) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off) < 0) ascii = false
+      off += 1
+    }
+    if (ascii) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

@@ -37,10 +37,11 @@ object MetaDexOps {
     * also wins under the r8 fullEval action, 3.15 vs 3.65 at 1× and
     * 46.8 vs 49.7 at 100×) — the second shuffle join costs more than
     * the thinner dedup rows save, at every scale measured (PERF.md
-    * round 8). The maker address is taken from the match object; it
-    * is definitionally the matched listing's sendingaddress
-    * (sql.py:2078-2101 reads it from the counterpart row it looks up
-    * by txid), so either source is valid.
+    * round 8). The maker address is taken from the match object
+    * itself — the reference reads it directly as match['address']
+    * (sql.py:2070), which is what `m.address` below mirrors; it is
+    * definitionally equal to the matched listing's sendingaddress,
+    * so the pre-r8 counterpart-lookup source produced the same value.
     */
   def derive(txs: Dataset[(RawTx, Long)]): (Dataset[MatchedTrade], Dataset[LedgerEntry]) = {
     val spark = txs.sparkSession

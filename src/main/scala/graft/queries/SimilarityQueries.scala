@@ -378,7 +378,7 @@ object SimilarityQueries {
   val semanticDedupSqrtK = Q(
     "dedup_semantic_sqrtk",
     s"""WITH ${kmeansSqlK(
-         "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM qn)")},
+         "(SELECT GREATEST(CAST(2 AS BIGINT), CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM qn)")},
       |pairs AS (
       |  SELECT a.vec_id AS ida, b.vec_id AS idb,
       |    CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,

@@ -57,4 +57,32 @@ class NfcNormalizeSpec extends SparkTestBase {
       Seq(1L).toDF("v").select(expr("graft_nfc(v)")).collect()
     }
   }
+
+  test("graft_nfc arity errors are analysis-time, not runtime") {
+    val s = registered
+    import s.implicits._
+    val df = Seq(("a", "b")).toDF("x", "y")
+    val two = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("graft_nfc(x, y)")).collect()
+    }
+    assert(two.getMessage.contains("graft_nfc"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("graft_nfc()")).collect()
+    }
+  }
+
+  test("ASCII fast path returns the input object without allocation") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val ascii = UTF8String.fromString("pure ascii, no combining marks")
+    assert(graft.functions.NfcNormalize.nfc(ascii) eq ascii)
+    // non-ASCII but already NFC: quick-check path also returns input
+    val nfc = UTF8String.fromString("caf" + eAcute)
+    assert(graft.functions.NfcNormalize.nfc(nfc) eq nfc)
+    // denormalized input still normalizes (fast path must not skip it)
+    val dec = UTF8String.fromString("caf" + eAcuteDec)
+    assert(graft.functions.NfcNormalize.nfc(dec).toString == "caf" + eAcute)
+    // empty string is ASCII-trivially NFC
+    val empty = UTF8String.fromString("")
+    assert(graft.functions.NfcNormalize.nfc(empty) eq empty)
+  }
 }
