@@ -512,6 +512,203 @@ object PipelineQueries {
     fullServe(s, dir, raw, tip)
   }
 
+  /** M4 at flagship scale, ORACLE-GATED (round-8 verdict ask #1): the
+    * reference's strongest behavioral contract (reorgRollback
+    * sql.py:85-218) is that rolled-back state is indistinguishable
+    * from a chain where the orphaned blocks never existed. The SPARK
+    * side serves the ROLLED-BACK 19-type flagship —
+    * [[graft.operators.OmniPipeline.truncate]] applied to the full
+    * parsed stream — at two forks; the ORACLE computes the
+    * fresh-prefix serve in SQL (every ledger flow carries its block,
+    * and a fork table keeps flows with blk ≤ fork), so the DuckDB
+    * compare hash-pins truncate+re-derive == fresh-prefix-sync
+    * cross-engine at driver SFs (the ScalaTest `FullReorgSpec` proves
+    * the same equality in-engine at sf0.001 and keeps the
+    * non-vacuity assert that each fork actually truncates state).
+    * Forks (same two as the spec, both mid-epilogue):
+    *  - mid-PURCHASES (purBase + maxck/2): half the −22 settlements
+    *    vanish — the DEx fold must re-open exactly the settled
+    *    accepts (holds restored, serving rows re-joined);
+    *  - mid-ADMIN (adminBase + 199): after every 55 grant, before
+    *    every 56 revoke — negative managed balances, issuer changes
+    *    and MetaDEx cancels all roll back.
+    */
+  val m4ReorgFlagship = Q(
+    "m4_reorg_flagship",
+    """WITH o AS (SELECT o_orderkey AS ok, o_custkey AS ck,
+      |    o_orderkey % 10 AS m,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS amt,
+      |    row_number() OVER (ORDER BY o_orderkey) AS r
+      |  FROM orders),
+      |dims AS (SELECT CAST(count(*) AS BIGINT) AS o_n,
+      |    CAST(max(ok) AS BIGINT) AS mok,
+      |    CAST(max(ck) AS BIGINT) AS mck FROM o),
+      |nn AS (SELECT CAST(n_nationkey AS BIGINT) AS nk FROM nation),
+      |acc0 AS (SELECT ck, ok, amt, r,
+      |    row_number() OVER (PARTITION BY ck ORDER BY ok) AS rn
+      |  FROM o WHERE m = 6),
+      |acc AS (SELECT ck, ck % 25 AS nk, ok, amt AS want, r
+      |  FROM acc0 WHERE rn = 1),
+      |offr AS (SELECT nn.nk, coalesce(max(a.want), 1) AS oamt
+      |  FROM nn LEFT JOIN acc a ON a.nk = nn.nk GROUP BY nn.nk),
+      |accg AS (SELECT a.ck, a.nk, a.ok, a.r, a.want,
+      |    least(sum(a.want) OVER w, f.oamt)
+      |      - least(sum(a.want) OVER w - a.want, f.oamt) AS got
+      |  FROM acc a JOIN offr f ON a.nk = f.nk
+      |  WINDOW w AS (PARTITION BY a.nk ORDER BY a.ok
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |pur AS (SELECT ck, nk, got, row_number() OVER (ORDER BY ck) AS j
+      |  FROM accg WHERE ck % 2 = 0),
+      |np AS (SELECT CAST(count(*) AS BIGINT) AS p_n FROM pur),
+      |t8 AS (SELECT ck, ok, amt, r, ck % 25 AS nk,
+      |    lag(ck) OVER w8 AS pck, lag(amt) OVER w8 AS pamt,
+      |    row_number() OVER w8 AS rn8
+      |  FROM o WHERE m = 8
+      |  WINDOW w8 AS (PARTITION BY ck % 25 ORDER BY ok)),
+      |f8 AS (SELECT nk, ck AS fck, amt AS famt FROM t8 WHERE rn8 = 1),
+      |ntr AS (SELECT 'C' || CAST(ck AS VARCHAR) AS taddr,
+      |    count(*) AS ntrades
+      |  FROM t8 WHERE pck IS NOT NULL GROUP BY 1),
+      |flows AS (
+      |  SELECT 'I' || CAST(nk AS VARCHAR) AS address, 100 + nk AS pid,
+      |    CAST(1000000000000 AS BIGINT) AS da, 0 AS dr, 0 AS dacc,
+      |    0 AS df, 11 + nk AS serial, CAST(1 AS BIGINT) AS blk FROM nn
+      |  UNION ALL SELECT 'I' || CAST(nk AS VARCHAR), 200 + nk,
+      |    0, 0, 0, 0, 36 + nk, 2 FROM nn
+      |  UNION ALL SELECT 'F' || CAST(nk AS VARCHAR), 100 + nk,
+      |    0, 0, 0, 0, 61 + nk, 3 FROM nn
+      |  UNION ALL SELECT 'S' || CAST(nk AS VARCHAR), 31,
+      |    -oamt, oamt, 0, 0, 86 + nk, 4 FROM offr
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 31, -amt, 0, 0, 0,
+      |    110 + r, ok + 100 FROM o WHERE m IN (0,1,2)
+      |  UNION ALL SELECT 'MKT', 31, amt, 0, 0, 0, 110 + r, ok + 100
+      |    FROM o WHERE m IN (0,1,2)
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 100 + ck % 25,
+      |    -amt, 0, 0, 0, 110 + r, ok + 100 FROM o WHERE m = 3
+      |  UNION ALL SELECT 'F' || CAST(ck % 25 AS VARCHAR), 100 + ck % 25,
+      |    0, 0, 0, amt, 110 + r, ok + 100 FROM o WHERE m = 3
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 32, -amt, 0, 0, 0,
+      |    110 + r, ok + 100 FROM o WHERE m = 4
+      |  UNION ALL SELECT 'POOL', 32, amt, 0, 0, 0, 110 + r, ok + 100
+      |    FROM o WHERE m = 4
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 31, -amt, 0, 0, 0,
+      |    110 + r, ok + 100 FROM o WHERE m = 5
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 1, 0, 0, 0, 0,
+      |    110 + r, ok + 100 FROM o WHERE m = 5
+      |  UNION ALL SELECT 'R0', 31, amt // 2, 0, 0, 0, 110 + r, ok + 100
+      |    FROM o WHERE m = 5
+      |  UNION ALL SELECT 'R1', 31, amt - amt // 2, 0, 0, 0, 110 + r,
+      |    ok + 100 FROM o WHERE m = 5
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 31, 0, 0, 0, 0,
+      |    110 + r, ok + 100 FROM accg WHERE got > 0
+      |  UNION ALL SELECT 'S' || CAST(nk AS VARCHAR), 31, 0, 0, got, 0,
+      |    110 + r, ok + 100 FROM accg WHERE got > 0
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 31, -amt, 0, 0, 0,
+      |    110 + r, ok + 100 FROM o WHERE m = 7
+      |  UNION ALL SELECT 'I' || CAST(ck % 25 AS VARCHAR), 31, amt,
+      |    0, 0, 0, 110 + r, ok + 100 FROM o WHERE m = 7
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 200 + ck % 25,
+      |    2 * amt, 0, 0, 0, 110 + r, ok + 100 FROM o WHERE m = 7
+      |  UNION ALL SELECT 'I' || CAST(ck % 25 AS VARCHAR), 200 + ck % 25,
+      |    amt // 10, 0, 0, 0, 110 + r, ok + 100 FROM o WHERE m = 7
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 41, -amt, amt,
+      |    0, 0, 110 + r, ok + 100 FROM o WHERE m = 8
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 41, 0, -pamt,
+      |    0, 0, 110 + r, ok + 100 FROM t8 WHERE pck IS NOT NULL
+      |  UNION ALL SELECT 'C' || CAST(pck AS VARCHAR), 41, pamt, 0,
+      |    0, 0, 110 + r, ok + 100 FROM t8 WHERE pck IS NOT NULL
+      |  UNION ALL SELECT 'C' || CAST(pck AS VARCHAR), 42, 0, -amt,
+      |    0, 0, 110 + r, ok + 100 FROM t8 WHERE pck IS NOT NULL
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 42,
+      |    amt - amt % 97, 0, 0, 0, 110 + r, ok + 100
+      |    FROM t8 WHERE pck IS NOT NULL
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 31, 0, 0, 0, 0,
+      |    110 + r, ok + 100 FROM o WHERE m = 9
+      |  UNION ALL SELECT 'S' || CAST(nk AS VARCHAR), 31, 0, -got, -got,
+      |    0, o_n + 110 + j, mok + 200 + ck FROM pur, dims WHERE got > 0
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 31, got, 0, 0, 0,
+      |    o_n + 110 + j, mok + 200 + ck FROM pur, dims WHERE got > 0
+      |  UNION ALL SELECT 'I' || CAST(nk AS VARCHAR), 200 + nk, 1000,
+      |    0, 0, 0, o_n + p_n + 111 + nk, mok + mck + 201 + nk
+      |    FROM nn, dims, np
+      |  UNION ALL SELECT 'I' || CAST(nk AS VARCHAR), 300 + nk,
+      |    0, 0, 0, 0, o_n + p_n + 136 + nk, mok + mck + 1201 + nk
+      |    FROM nn, dims, np
+      |  UNION ALL SELECT 'R0', 300 + nk, 777000 + nk, 0, 0, 0,
+      |    o_n + p_n + 161 + nk, mok + mck + 1301 + nk FROM nn, dims, np
+      |  UNION ALL SELECT 'I' || CAST(nk AS VARCHAR), 300 + nk,
+      |    0, 0, 0, 0, o_n + p_n + 161 + nk, mok + mck + 1301 + nk
+      |    FROM nn, dims, np
+      |  UNION ALL SELECT 'I' || CAST(nk AS VARCHAR), 300 + nk,
+      |    -(123 + nk), 0, 0, 0, o_n + p_n + 186 + nk,
+      |    mok + mck + 1401 + nk FROM nn, dims, np
+      |  UNION ALL SELECT 'I' || CAST(nk AS VARCHAR), 100 + nk,
+      |    0, 0, 0, 0, o_n + p_n + 211 + nk, mok + mck + 1501 + nk
+      |    FROM nn, dims, np
+      |  UNION ALL SELECT 'I' || CAST((nk + 1) % 25 AS VARCHAR), 100 + nk,
+      |    0, 0, 0, 0, o_n + p_n + 211 + nk, mok + mck + 1501 + nk
+      |    FROM nn, dims, np
+      |  UNION ALL SELECT 'C' || CAST(fck AS VARCHAR), 41, famt // 2,
+      |    -(famt // 2), 0, 0, o_n + p_n + 236 + nk,
+      |    mok + mck + 1601 + nk FROM f8, dims, np),
+      |forks AS (
+      |  SELECT 'mid_purchases' AS fork_label, mok + 200 + mck // 2 AS fb
+      |    FROM dims
+      |  UNION ALL SELECT 'mid_admin', mok + mck + 1400 FROM dims),
+      |bal AS (SELECT f.fork_label, fl.address,
+      |    CAST(fl.pid AS BIGINT) AS propertyId,
+      |    CAST(sum(fl.da) AS BIGINT) AS available,
+      |    CAST(sum(fl.dr) AS BIGINT) AS reserved,
+      |    CAST(sum(fl.dacc) AS BIGINT) AS accepted,
+      |    CAST(sum(fl.df) AS BIGINT) AS frozen,
+      |    CAST(max(fl.serial) AS BIGINT) AS last_serial
+      |  FROM flows fl CROSS JOIN forks f
+      |  WHERE fl.blk <= f.fb
+      |  GROUP BY 1, 2, 3),
+      |wallets AS (
+      |  SELECT 'C' || CAST(c_custkey AS VARCHAR) AS address,
+      |    'W' || CAST(c_nationkey AS VARCHAR) AS walletId FROM customer
+      |  UNION ALL SELECT 'I' || CAST(nk AS VARCHAR), 'WI' FROM nn
+      |  UNION ALL SELECT 'S' || CAST(nk AS VARCHAR), 'WS' FROM nn
+      |  UNION ALL SELECT 'F' || CAST(nk AS VARCHAR), 'WF' FROM nn
+      |  UNION ALL SELECT 'MKT', 'WX' UNION ALL SELECT 'POOL', 'WX'
+      |  UNION ALL SELECT 'R0', 'WR' UNION ALL SELECT 'R1', 'WR')
+      |SELECT b.fork_label, w.walletId, b.address, b.propertyId,
+      |  b.available, b.reserved, b.accepted, b.frozen,
+      |  b.address LIKE 'F%' AND b.propertyId BETWEEN 100 AND 199
+      |    AS frozen_flag,
+      |  b.last_serial,
+      |  CAST(CASE WHEN b.propertyId = 31 THEN b.available * 2.5
+      |            WHEN b.propertyId = 32 THEN b.available * 1.5
+      |            ELSE 0.0 END AS DOUBLE) AS availableValue,
+      |  CASE WHEN b.propertyId >= 100
+      |       THEN 'P' || CAST(b.propertyId AS VARCHAR)
+      |       ELSE '' END AS property_name,
+      |  CASE WHEN b.propertyId >= 100
+      |       THEN 'I' || CAST(b.propertyId % 100 AS VARCHAR)
+      |       ELSE '' END AS issuer,
+      |  coalesce(t.ntrades, 0) AS n_trades
+      |FROM bal b JOIN wallets w ON b.address = w.address
+      |LEFT JOIN ntr t ON b.address = t.taddr
+      |ORDER BY b.fork_label, w.walletId, b.address, b.propertyId"""
+      .stripMargin) { (s, dir) =>
+    import s.implicits._
+    val (raw, _) = fullRaw(s, dir)
+    // same two scalars fullRaw derives for epilogue numbering
+    val dimRow = t(s, dir, "orders")
+      .agg(max($"o_orderkey").cast(LongType),
+        max($"o_custkey").cast(LongType)).head()
+    val purBase = dimRow.getLong(0) + 200L
+    val adminBase = purBase + dimRow.getLong(1) + 1L + 1000L
+    Seq(("mid_purchases", purBase + dimRow.getLong(1) / 2L),
+        ("mid_admin", adminBase + 199L))
+      .map { case (label, fork) =>
+        fullServe(s, dir, raw, fork, Some(fork))
+          .withColumn("fork_label", lit(label))
+      }
+      .reduce(_ unionByName _)
+  }
+
   /** The 19-type flagship's node feed: the union of raw JSON payload
     * legs plus the serve-time tip, factored out so the reorg spec can
     * replay a truncated prefix through the identical builder.
@@ -1145,7 +1342,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(featureActivations, embed200, ratesParse,
     ratesHistory, resetFromSnapshot, e2eIngest, e2eIngestFull,
-    e2eIngestChain, valuationBigint)
+    e2eIngestChain, valuationBigint, m4ReorgFlagship)
 }
 
 /** JSON shape of one ingested tx for the mixed-type e2e flagship — the
