@@ -79,9 +79,16 @@ object CurationQueries {
   val pipeline = Q(
     "curation_pipeline",
     s"""WITH base AS (SELECT doc_id, lang, lower(text) AS text FROM documents),
-      |corpus AS (SELECT * FROM base
+      |corpus0 AS (SELECT * FROM base
       |           UNION ALL
-      |           SELECT doc_id + 200000, lang, text FROM base WHERE doc_id % 10 = 0),
+      |           SELECT doc_id + 200000, lang, text FROM base WHERE doc_id % 10 = 0
+      |           UNION ALL
+      |           SELECT doc_id + 300000, lang, text || ' z\u00e9'
+      |           FROM base WHERE doc_id % 10 = 5
+      |           UNION ALL
+      |           SELECT doc_id + 400000, lang, text || ' ze\u0301'
+      |           FROM base WHERE doc_id % 10 = 5),
+      |corpus AS (SELECT doc_id, lang, nfc_normalize(text) AS text FROM corpus0),
       |keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(trim(text))),
       |dedup AS (SELECT * FROM corpus WHERE doc_id IN (SELECT doc_id FROM keep)),
       |scored AS (SELECT doc_id, lang, text,
@@ -95,12 +102,25 @@ object CurationQueries {
       |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
       |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.types.LongType
+    graft.functions.GraftFunctions.register(s)
     val base = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), lower(col("text")).as("text"))
+    // Cross-encoding plant (round-8 verdict ask #2): two twins per
+    // doc_id % 10 = 5 document, byte-distinct (precomposed U+00E9 vs
+    // decomposed e+U+0301 marker) but NFC-equal, so the normalize-first
+    // stage below is what lets the exact-dedup collapse them — without
+    // it both twins survive and every downstream count shifts.
+    val marked = base.where(col("doc_id") % 10 === 5)
     val corpus = base.unionAll(
       base.where(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 200000).as("doc_id"), col("lang"),
           col("text")))
+      .unionAll(marked.select((col("doc_id") + 300000).as("doc_id"),
+        col("lang"), concat(col("text"), lit(" z\u00e9")).as("text")))
+      .unionAll(marked.select((col("doc_id") + 400000).as("doc_id"),
+        col("lang"), concat(col("text"), lit(" ze\u0301")).as("text")))
+      .select(col("doc_id"), col("lang"),
+        expr("graft_nfc(text)").as("text"))
     val keep = corpus.groupBy(md5(trim(col("text"))).as("h"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")

@@ -68,6 +68,49 @@ object DedupQueries {
       |  SELECT doc_id + 100000, substr(lower(text), position(' ' IN text) + 1)
       |  FROM documents)""".stripMargin
 
+  /** MinHash corpus: the planted corpus above PLUS cross-encoding
+    * duplicate pairs, NFC-normalized first (round-8 verdict ask #2 —
+    * normalize before EVERY content hash). For every 10th doc
+    * (doc_id % 10 = 3) two twins are planted whose every token carries
+    * an accent marker: +300000 precomposed (U+00E9), +400000 the
+    * byte-distinct decomposed spelling (e + U+0301) of the SAME
+    * visible text. Without the normalize-first stage the twins share
+    * ZERO shingles (every shingle contains marker tokens) and the pair
+    * is invisible even to banding; with it they are exact duplicates
+    * (jac_millis = 1000) — so the planted pairs exist in the output
+    * only because the NFC pass ran, in both engines. The normalize
+    * runs once per document before shingling (ASCII majority takes
+    * [[graft.functions.NfcNormalize]]'s allocation-free fast path).
+    */
+  private def corpusNfc(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val marked = t(s, dir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+      .where(col("doc_id") % 10 === 3)
+    corpus(s, dir)
+      .unionAll(marked.select((col("doc_id") + 300000).as("doc_id"),
+        regexp_replace(col("text"), " ", "\u00e9 ").as("text")))
+      .unionAll(marked.select((col("doc_id") + 400000).as("doc_id"),
+        regexp_replace(col("text"), " ", "e\u0301 ").as("text")))
+      .select(col("doc_id"), expr("graft_nfc(text)").as("text"))
+  }
+
+  private val corpusNfcSql =
+    s"""corpus AS (
+      |  SELECT doc_id, nfc_normalize(text) AS text FROM (
+      |    SELECT doc_id, lower(text) AS text FROM documents
+      |    UNION ALL
+      |    SELECT doc_id + 200000, lower(text) FROM documents WHERE doc_id % 10 = 0
+      |    UNION ALL
+      |    SELECT doc_id + 100000, substr(lower(text), position(' ' IN text) + 1)
+      |    FROM documents
+      |    UNION ALL
+      |    SELECT doc_id + 300000, replace(lower(text), ' ', '\u00e9 ')
+      |    FROM documents WHERE doc_id % 10 = 3
+      |    UNION ALL
+      |    SELECT doc_id + 400000, replace(lower(text), ' ', 'e\u0301 ')
+      |    FROM documents WHERE doc_id % 10 = 3))""".stripMargin
+
   /** Exact dedup: hash-groupBy on normalized content, keep the lowest
     * id. One shuffle on the 128-bit content hash; at 100 TB this is the
     * standard first pass (map-side combine shrinks each partition to its
@@ -215,7 +258,7 @@ object DedupQueries {
     */
   val minhashLsh = Q(
     "dedup_minhash_lsh",
-    s"""WITH $corpusSql,
+    s"""WITH $corpusNfcSql,
       |$shingledSql,
       |hh AS (SELECT doc_id, ${dh60("shingle")} AS h FROM sh),
       |hp AS (SELECT doc_id, h % 2147483647 AS h31 FROM hh),
@@ -258,7 +301,7 @@ object DedupQueries {
     // while it fits, recomputed under pressure, never competing with
     // the band join's shuffles for scratch disk.
     val hashed = Q.persistScopedAt(
-      shingledFresh(corpus(s, dir))
+      shingledFresh(corpusNfc(s, dir))
         .select(col("doc_id"), expr(h60("shingle")).as("h")),
       org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val hp = hashed.select(col("doc_id"), (col("h") % 2147483647L).as("h31"))

@@ -64,20 +64,34 @@ class SemanticLineDedupSpec extends SparkTestBase {
     graft.queries.Q.releaseScoped()
     assert(out.nonEmpty)
 
-    // recompute the segmentation independently
-    val docs = Tables.t(spark, dir, "documents")
+    // recompute the segmentation independently, mirroring the round-9
+    // cross-encoding fixture: originals suffixed with a precomposed
+    // marker token, +1e9 twins with the decomposed spelling
+    val raw = Tables.t(spark, dir, "documents")
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
+    val docs = raw.map { case (id, t) => id -> (t + " z\u00e9") } ++
+      raw.map { case (id, t) => (id + 1000000000L) -> (t + " ze\u0301") }
     def lines(text: String): Seq[String] =
       text.split(" ", -1).grouped(8).map(_.mkString(" ")).toSeq
+    def nfc(s: String): String =
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
     val perDoc = docs.map { case (id, t) => id -> lines(t).size }.toMap
     out.foreach { case (id, kept, dropped) =>
       assert(kept + dropped == perDoc(id),
         s"doc $id: $kept+$dropped != ${perDoc(id)} lines")
     }
-    val distinct = docs.flatMap { case (_, t) => lines(t) }.distinct.size
+    // distinct lines are counted under NFC — the decomposed twins'
+    // lines must collapse onto the precomposed originals'
+    val distinct = docs.flatMap { case (_, t) => lines(t) }
+      .map(nfc).distinct.size
     assert(out.map(_._2).sum == distinct,
-      "sum of kept lines must equal the corpus's distinct line count")
+      "sum of kept lines must equal the corpus's NFC-distinct line count")
     assert(out.map(_._3).sum > 0, "fixture should contain duplicate lines")
+    // every decomposed twin deduplicates completely against its
+    // original — the cross-encoding plant is load-bearing
+    out.filter(_._1 >= 1000000000L).foreach { case (id, kept, _) =>
+      assert(kept == 0L, s"twin $id kept $kept lines; NFC pass not applied")
+    }
   }
 }
