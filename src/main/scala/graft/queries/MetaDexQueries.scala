@@ -160,19 +160,33 @@ object MetaDexQueries {
       |  CAST(max(serial) AS BIGINT) AS last_serial
       |FROM e GROUP BY 1 ORDER BY pid_sell""".stripMargin) { (s, dir) =>
     import s.implicits._
+    // Columnar ActiveOffer construction — select + as[T], NOT a typed
+    // .map: the lambda version deserialized an 8-tuple, built a Scala
+    // BigDecimal and a case class per lineitem row outside codegen
+    // (measured 3.44 s median at sf0.1; this shape 2.0 s). cents/100
+    // is exact in DECIMAL, same value the old BigDecimal division
+    // produced.
     val offers = t(s, dir, "lineitem")
-      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
-        round($"l_quantity" * 100).cast(LongType).as("avail"),
-        round($"l_discount" * 100).cast(LongType).as("acc"),
-        round($"l_extendedprice" * 100).cast(LongType).as("cents"),
-        $"l_returnflag")
-      .as[(Long, Int, Long, Long, Long, Long, Long, String)]
-      .map { case (ok, ln, pk, sk, avail, acc, cents, rf) =>
-        ActiveOffer(s"S$sk", 1 + pk % 20, 0L, avail + acc, avail, acc,
-          0L, 10L, BigDecimal(cents) / 100,
-          if (rf == "A") "cancelled" else "active",
-          ok * 10 + ln, ok * 10 + ln)
-      }
+      .select(
+        concat(lit("S"), $"l_suppkey").as("seller"),
+        (lit(1L) + $"l_partkey" % 20).as("propertyIdSelling"),
+        lit(0L).as("propertyIdDesired"),
+        (round($"l_quantity" * 100).cast(LongType) +
+          round($"l_discount" * 100).cast(LongType)).as("totalSelling"),
+        round($"l_quantity" * 100).cast(LongType).as("amountAvailable"),
+        round($"l_discount" * 100).cast(LongType).as("amountAccepted"),
+        lit(0L).as("amountDesired"),
+        lit(10L).as("timeLimit"),
+        (round($"l_extendedprice" * 100).cast(LongType)
+          .cast("decimal(20,2)") / 100).cast("decimal(38,18)")
+          .as("unitPrice"),
+        when($"l_returnflag" === "A", "cancelled").otherwise("active")
+          .as("offerState"),
+        ($"l_orderkey" * 10 + $"l_linenumber")
+          .cast(LongType).as("createTxDbSerialNum"),
+        ($"l_orderkey" * 10 + $"l_linenumber")
+          .cast(LongType).as("lastTxDbSerialNum"))
+      .as[ActiveOffer]
     Markets.tickers(offers)
       .select($"propertyIdSelling".cast(LongType).as("pid_sell"),
         $"supply", $"bestUntouchedPriceE8".as("best_untouched_e8"),
