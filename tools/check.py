@@ -82,12 +82,69 @@ def connect(sf_dir):
     return con
 
 
+def hash_compare(con, name, spark_src, oracle_sql):
+    """Memory-bounded compare for 1000x-scale sweeps: both sides are
+    reduced INSIDE DuckDB to (row count, xor of per-row hashes over the
+    name-sorted column struct) — no pandas materialization, so a 500M-row
+    result costs a streamed scan, not 25 GB of frames. Both hashes come
+    from the SAME engine, so engine-specific hash quirks cancel; dtype
+    mismatches still fail (DuckDB hash is type-sensitive, same contract
+    as the pandas path's dtype-sensitive equals). TIMESTAMP WITH TIME
+    ZONE normalizes to naive UTC, mirroring norm().
+    """
+    def digest(src_sql):
+        cols = con.sql(f"DESCRIBE SELECT * FROM ({src_sql})").df()
+        parts, sig = [], []
+        for _, r in sorted(cols.iterrows(), key=lambda t: t[1]["column_name"]):
+            c, ty = r["column_name"], str(r["column_type"])
+            e = f'"{c}"'
+            if "WITH TIME ZONE" in ty:
+                # tz-aware vs naive is a parquet-metadata artifact
+                # (mirrors norm()); compare instants
+                e = f"CAST({e} AT TIME ZONE 'UTC' AS TIMESTAMP)"
+                ty = "TIMESTAMP"
+            elif ty in ("FLOAT", "DOUBLE"):
+                # DuckDB hash() collapses -0.0 onto 0.0 — the exact
+                # defect class the r8 keeper-sum lesson is about. The
+                # VARCHAR rendering is bit-strict for the cases that
+                # matter ('-0.0' != '0.0', 'nan' prints), and both
+                # sides render in the SAME engine so the shortest-
+                # roundtrip form is identical iff the bits are.
+                e = f"CAST({e} AS VARCHAR)"
+            parts.append(e)
+            sig.append((c, ty))
+        row = ", ".join(parts)
+        q = (f"SELECT count(*) AS n, bit_xor(hash(ROW({row}))) AS h "
+             f"FROM ({src_sql})")
+        n, h = con.sql(q).fetchone()
+        return int(n), h, tuple(sig)
+    try:
+        sn, sh, scols = digest(f"SELECT * FROM {spark_src}")
+    except Exception as e:
+        return f"FAIL {name}: cannot hash spark result: {e}"
+    try:
+        on, oh, ocols = digest(oracle_sql)
+    except Exception as e:
+        return f"FAIL {name}: oracle SQL error: {e}"
+    if scols != ocols:
+        return f"FAIL {name}: columns {list(scols)} vs {list(ocols)}"
+    if sn != on:
+        return f"FAIL {name}: rows {sn} vs {on}"
+    if sh != oh:
+        return f"FAIL {name}: content hash mismatch ({sn} rows)"
+    return f"OK   {name} ({sn} rows, hash)"
+
+
 def main():
     if sys.argv[1:] == ["--selftest"]:
         selftest()
         return
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = sys.argv[1:]
+    hash_mode = "--hash" in args
+    if hash_mode:
+        args.remove("--hash")
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     ok = fail = 0
@@ -100,6 +157,26 @@ def main():
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d) or (only and name not in only):
+            continue
+        if hash_mode:
+            con = connect(sf_dir)
+            if name not in oracles:
+                try:
+                    n = con.sql(
+                        f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+                    print(f"SKIP {name}: no oracle ({n} rows)")
+                except Exception as e:
+                    print(f"FAIL {name}: cannot read spark result: {e}")
+                    fail += 1
+                con.close()
+                continue
+            msg = hash_compare(con, name, f"'{d}/*.parquet'", oracles[name])
+            con.close()
+            print(msg)
+            if msg.startswith("OK"):
+                ok += 1
+            else:
+                fail += 1
             continue
         con = connect(sf_dir)
         try:
