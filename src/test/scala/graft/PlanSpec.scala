@@ -304,4 +304,19 @@ class PlanSpec extends SparkTestBase {
       s"no map-side partial_min before the line-dedup exchange:\n$p")
     releaseScopedCaches()
   }
+
+  test("A6 ticker domain: offer construction is columnar — no object round-trip") {
+    // Round 9 replaced a typed .as[tuple].map{...ActiveOffer} lambda
+    // (a per-row deserialize -> Scala object -> serialize round-trip
+    // outside codegen; measured 3.44 -> 2.70 s at sf0.1) with a
+    // columnar select + as[ActiveOffer]. Pin the shape: any return of
+    // object code shows up as (De)Serialize/MapElements operators.
+    val p = plan(graft.queries.MetaDexQueries.tickerDomain)
+    assert(!p.contains("DeserializeToObject"),
+      s"object deserialization returned to the a6 offer build:\n$p")
+    assert(!p.contains("SerializeFromObject"),
+      s"object serialization returned to the a6 offer build:\n$p")
+    assert(!p.contains("MapElements"),
+      s"typed map lambda returned to the a6 offer build:\n$p")
+  }
 }
