@@ -24,11 +24,22 @@ object Verify {
     // optional comma-separated name filter for targeted sweeps
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Output-file fan-in. Default 1 (the driver reads a single file).
+    // coalesce(1) on a map-only pipeline collapses the WHOLE job to one
+    // thread — at 1000x that turned a 150M-row decode into a single-core
+    // grind — so scaled sweeps set SPARK_GRAFT_OUT_PARTS=<cores> (or 0
+    // for the plan's natural partitioning). coalesce, not repartition:
+    // no extra shuffle, it only caps the file count.
+    val outParts = sys.env.get("SPARK_GRAFT_OUT_PARTS")
+      .map(_.toInt).getOrElse(1)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        (if (outParts > 0) df.coalesce(outParts) else df)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
