@@ -418,6 +418,48 @@ object Multimodal {
   final case class WavStats(nSamples: Long, sampleRate: Long, peak: Long,
       sumAbs: Long)
 
+  /** The `AudioSystem` entry points funnel EVERY call through
+    * `JDK13Services.getProviders` — a JVM-global synchronized lookup
+    * whose cache expires every 60 s, after which the holder re-scans
+    * the full classpath (hundreds of jars here) under the lock. Per-row
+    * calls therefore serialize all executor threads on one monitor
+    * once row counts are large (observed live at the 1000× sweep: 31
+    * of 32 task threads BLOCKED in `AudioSystem.getProviders`, one
+    * thread walking jars — the job collapsed to single-file). A
+    * 1000-executor cluster pays the same toll per 32-core executor.
+    * Fix: resolve the SPI providers ONCE per JVM (ServiceLoader over
+    * the platform's declared `javax.sound.sampled.spi` services — the
+    * same set AudioSystem consults) and call them directly; the
+    * container is still parsed/written by the real JDK codec.
+    */
+  private lazy val wavReaders
+      : Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val all = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+    // Attempt order matters: the JDK's SoftMidiAudioFileReader sniffs
+    // by calling MidiSystem.getSequence, which re-enters the SAME
+    // synchronized per-call provider lookup this cache exists to
+    // avoid. The plain container readers (WAVE/AIFF/AU) reject foreign
+    // bytes from the header alone, so they go first and the
+    // MIDI-soft-synth fallback only runs for blobs nothing else takes.
+    val (midi, plain) =
+      all.partition(_.getClass.getName.toLowerCase.contains("midi"))
+    plain ++ midi
+  }
+
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala
+      .find(_.isFileTypeSupported(
+        javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException(
+        "no WAVE AudioFileWriter provider on this JVM"))
+  }
+
   /** Deterministic 16-bit PCM mono test waveform for doc `id`:
     * ns = 16 + id mod 241 samples at 8000 + 4000·(id mod 5) Hz, with
     * sample(i) = (id·31 + i·7) mod 65536 − 32768 — a closed form the
@@ -440,7 +482,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(data), fmt, ns.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
+    wavWriter.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
@@ -453,8 +495,18 @@ object Multimodal {
     * count — mono fixtures are unaffected).
     */
   def decodeWav(blob: Array[Byte]): WavStats = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(blob))
+    // same reader-attempt contract as AudioSystem.getAudioInputStream,
+    // minus the per-call synchronized provider lookup (see wavReaders)
+    val ais = wavReaders.iterator.flatMap { rd =>
+      try Iterator.single(rd.getAudioInputStream(
+        new java.io.ByteArrayInputStream(blob)))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException =>
+          Iterator.empty
+      }
+    }.nextOption().getOrElse(
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "no installed AudioFileReader accepts this container"))
     val fmt = ais.getFormat
     require(fmt.getSampleSizeInBits == 16,
       s"expected 16-bit PCM, got ${fmt.getSampleSizeInBits}")
