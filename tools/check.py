@@ -73,6 +73,12 @@ def connect(sf_dir):
     # scale eventually fails tiny allocations ("bad allocation") even
     # with free RAM; re-registering the table views is microseconds.
     con = duckdb.connect()
+    # Bound the oracle and give it a spill path: an unbounded DuckDB
+    # sharing the box with a 25 GB Spark JVM dies with "bad allocation"
+    # mid-sweep on 1000x sorts/windows; with a limit + temp_directory
+    # those operators spill to disk instead.
+    con.execute("SET temp_directory='/tmp/duck_spill.tmp'")
+    con.execute("SET memory_limit='48GB'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):  # Spark-written (ScaleGen) directory form
@@ -147,6 +153,36 @@ def main():
     only = set(args[2:])
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
+    if hash_mode and len(only) != 1:
+        # Process-per-query: DuckDB allocations accumulate PER PROCESS
+        # (a fresh connection does not return them — observed live as a
+        # fresh connect() failing a 765-byte allocation after four
+        # 5M-row hashes in one process), and one query's OOM must not
+        # silence the rest of the batch's report. Re-invoke ourselves
+        # once per query; each child prints its own OK/FAIL line.
+        import subprocess
+        names = sorted(n for n in set(oracles) | {
+            d for d in os.listdir(out_dir)
+            if os.path.isdir(os.path.join(out_dir, d))}
+            if not only or n in only)
+        fails = 0
+        for n in names:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                "--hash", sf_dir, out_dir, n],
+                               capture_output=True, text=True)
+            body = [ln for ln in r.stdout.splitlines()
+                    if ln.startswith(("OK", "FAIL", "SKIP"))]
+            for ln in body:
+                print(ln, flush=True)
+            if r.returncode != 0:
+                fails += 1
+                if not any(ln.startswith("FAIL") for ln in body):
+                    # child died without reporting (hard OOM/kill)
+                    print(f"FAIL {n}: checker exited rc={r.returncode}: "
+                          f"{(r.stderr or '').strip().splitlines()[-1:]}",
+                          flush=True)
+        print(f"\n{len(names) - fails} ok, {fails} fail")
+        sys.exit(1 if fails else 0)
     ok = fail = 0
     for name in oracles:
         if only and name not in only:
