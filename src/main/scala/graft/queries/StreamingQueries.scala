@@ -438,8 +438,158 @@ object StreamingQueries {
     PipelineQueries.chainServe(s, dir, confBack)
   }
 
+  /** M4 under streaming — the reorg contract exercised through the
+    * LIVE ingest path (reference omniEngine.py main loop: a tip-hash
+    * mismatch mid-follow triggers reorgRollback(fork), then sync
+    * resumes from fork+1 on the winning branch; sql.py:85-218). The
+    * existing reorg gates re-derive from a truncated FRAME; this one
+    * proves the STORAGE lifecycle: the original chain is ingested
+    * through the checkpointed stream, the fork physically truncates
+    * the facts store ([[graft.sinks.BlockRangeSink.dropAbove]] —
+    * tail-partition delete + one straddling-partition rewrite, called
+    * TWICE to pin idempotence), the watermark falls back to ≤ fork,
+    * and the competing branch (same heights, different payloads:
+    * amt+97, pay re-derived) is admitted by the SAME watermark gate as
+    * normal sync — no special re-admission path. A full winning-feed
+    * replay afterwards must admit ZERO rows (exactly-once survives the
+    * rollback). The serve hash-matches DuckDB computing the winning
+    * chain fresh — so if truncation silently kept one orphaned block,
+    * or the branch was rejected, every downstream cum/balance diverges
+    * and the gate goes red. Self-proving non-vacuity: the oracle is
+    * the BRANCH chain, so "reorg did nothing" cannot hash-match.
+    */
+  val reorgEquiv = Q(
+    "streaming_reorg_equiv",
+    """WITH cust AS (SELECT c_custkey AS ck,
+      |    CAST(c_nationkey AS BIGINT) AS nk,
+      |    row_number() OVER (ORDER BY c_custkey) AS rc FROM customer),
+      |o AS (SELECT o_orderkey AS ok, o_custkey AS ck,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS amt FROM orders),
+      |oo AS (SELECT o.ok, o.ck, c.nk, c.rc, o.amt,
+      |    o.amt % 1000 + 1 AS pay,
+      |    o.ok % 7 <> 3 AS conf, o.ok % 3 = 0 AS omni
+      |  FROM o JOIN cust c ON o.ck = c.ck),
+      |f AS (SELECT min(ok) + ((max(ok) - min(ok) + 1) * 3) // 4 AS fork
+      |  FROM oo),
+      |co AS (SELECT ok, ck, nk, rc, omni,
+      |    CASE WHEN ok > fork THEN oo.amt + 97 ELSE oo.amt END AS amt2,
+      |    CASE WHEN ok > fork THEN (oo.amt + 97) % 1000 + 1
+      |         ELSE oo.pay END AS pay2,
+      |    1000000 + row_number() OVER (ORDER BY ok) AS serial
+      |  FROM oo CROSS JOIN f WHERE conf),
+      |ch AS (SELECT *, sum(pay2 + 100) OVER (PARTITION BY ck ORDER BY ok
+      |    ROWS UNBOUNDED PRECEDING) AS cum FROM co),
+      |flows AS (
+      |  SELECT 'C' || CAST(ck AS VARCHAR) AS address,
+      |    CAST(0 AS BIGINT) AS pid,
+      |    CAST(1000000000000 AS BIGINT) AS delta,
+      |    rc AS serial FROM cust
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 0,
+      |    -(1000000000000 - (cum - pay2 - 100)), serial FROM ch
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 0,
+      |    1000000000000 - cum, serial FROM ch
+      |  UNION ALL SELECT 'M' || CAST(nk AS VARCHAR), 0, pay2, serial
+      |    FROM ch
+      |  UNION ALL SELECT 'C' || CAST(ck AS VARCHAR), 31, -amt2, serial
+      |    FROM ch WHERE omni
+      |  UNION ALL SELECT 'M' || CAST(nk AS VARCHAR), 31, amt2, serial
+      |    FROM ch WHERE omni),
+      |bal AS (SELECT address, pid AS propertyId,
+      |    CAST(sum(delta) AS BIGINT) AS available,
+      |    count(*) AS n_entries,
+      |    CAST(max(serial) AS BIGINT) AS last_serial
+      |  FROM flows GROUP BY 1, 2),
+      |pend AS (SELECT 'C' || CAST(ck AS VARCHAR) AS address,
+      |    count(*) AS n_pending, CAST(sum(pay) AS BIGINT) AS pending_sats
+      |  FROM oo WHERE NOT conf AND ok % 11 <> 0 GROUP BY 1),
+      |wmap AS (SELECT 'C' || CAST(ck AS VARCHAR) AS address,
+      |    'W' || CAST(nk AS VARCHAR) AS walletId FROM cust
+      |  UNION ALL SELECT DISTINCT 'M' || CAST(nk AS VARCHAR), 'WM'
+      |    FROM cust)
+      |SELECT w.walletId, b.address, b.propertyId, b.available,
+      |  b.n_entries, b.last_serial,
+      |  coalesce(p.n_pending, 0) AS n_pending,
+      |  coalesce(p.pending_sats, 0) AS pending_sats
+      |FROM bal b JOIN wmap w ON b.address = w.address
+      |LEFT JOIN pend p ON b.address = p.address
+      |ORDER BY b.address, b.propertyId""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sinks.BlockRangeSink
+    import graft.streaming.IncrementalIngest
+
+    val base = java.nio.file.Files.createTempDirectory("graft_reorg_stream")
+    graft.CacheScope.defer { () =>
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val children = java.nio.file.Files.list(p)
+          try children.forEach(rm(_)) finally children.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try rm(base) catch { case _: java.io.IOException => () }
+    }
+    val feedDir = base.resolve("feed").toString
+    val factsDir = base.resolve("facts").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    val oo = PipelineQueries.chainOrders(s, dir)
+    val conf = oo.where($"conf")
+      .select($"ok".as("block"), $"ck", $"nk", $"amt", $"pay", $"omni")
+    // fork at the ¾ point of the FULL height range (same integer
+    // arithmetic as the oracle's f CTE)
+    val (mnA, mxA) = oo.agg(min($"ok"), max($"ok")).as[(Long, Long)].head()
+    val fork = mnA + (mxA - mnA + 1L) * 3L / 4L
+    // the competing branch: same heights, different payloads
+    val branch = conf.where($"block" > fork)
+      .withColumn("amt", $"amt" + 97L)
+      .withColumn("pay", $"amt" % 1000L + 1L)
+
+    def runOnce(): Unit = {
+      val q = s.readStream.schema(conf.schema).parquet(feedDir)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          IncrementalIngest.ingestFrame(s, b, factsDir); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // 1. original chain, two watermark-gated drops through the stream
+    val mid = (mnA + mxA) / 2L
+    conf.where($"block" <= mid).write.mode("append").parquet(feedDir)
+    runOnce()
+    conf.where($"block" > mid).write.mode("append").parquet(feedDir)
+    runOnce()
+    // 2. tip-hash mismatch detected → physical rollback, twice
+    //    (idempotence is part of the contract: a crashed rollback
+    //    re-runs safely)
+    IncrementalIngest.reorg(s, factsDir, fork)
+    val wm = IncrementalIngest.reorg(s, factsDir, fork)
+    require(wm >= 0 && wm <= fork,
+      s"rollback left watermark $wm above fork $fork")
+    // 3. the winning branch arrives as a new feed drop; the ordinary
+    //    watermark gate admits it (blocks > fork)
+    branch.write.mode("append").parquet(feedDir)
+    runOnce()
+    // 4. exactly-once after rollback: a full winning-feed replay must
+    //    admit nothing
+    val winning = conf.where($"block" <= fork).unionByName(branch)
+    val readmitted = IncrementalIngest.ingestFrame(s, winning, factsDir)
+    require(readmitted == 0L,
+      s"winning-feed replay re-admitted $readmitted rows")
+
+    val confBack = BlockRangeSink.read(s, factsDir)
+      .select($"block".as("ok"), $"ck", $"nk", $"amt", $"pay", $"omni")
+      .as[(Long, Long, Long, Long, Long, Boolean)]
+    PipelineQueries.chainServe(s, dir, confBack)
+  }
+
   val all: Seq[Q] = Seq(balancesEquiv, sessionsEquiv, txStatsEquiv,
-    dedupEquiv, kmvEquiv, chainEquiv)
+    dedupEquiv, kmvEquiv, chainEquiv, reorgEquiv)
 }
 
 /** Replay-row shapes for the §2.9 equivalence gates — top-level so

@@ -110,4 +110,65 @@ object BlockRangeSink {
   def truncateTo(spark: SparkSession, path: String, fork: Long,
       blockCol: String = "block"): DataFrame =
     read(spark, path).where(col(blockCol) <= fork)
+
+  /** M4 under streaming — PHYSICAL reorg rollback (reference
+    * reorgRollback sql.py:85-218: DELETE every derived row with
+    * blocknumber > fork inside one transaction). [[truncateTo]] is the
+    * read-side filter; a long-lived facts store must also drop the
+    * orphaned bytes, or the next [[watermark]] still reads the orphaned
+    * tip and [[graft.streaming.IncrementalIngest]] silently REJECTS the
+    * winning branch (it admits only blocks > watermark).
+    *
+    * Partition-pruned by construction: every partition strictly above
+    * the fork's range is removed as a directory delete (no data scan),
+    * and only the fork's OWN partition is rewritten — so at 100 TB a
+    * reorg costs one tail-partition rewrite plus metadata deletes,
+    * never a table pass. Idempotent: a crashed/re-run rollback finds
+    * the tail already gone and rewrites the fork partition to the same
+    * bytes (same dynamic-overwrite mechanism as [[write]]/[[compact]]).
+    * Directory removal is the local-FS stand-in for a cluster
+    * catalog/filesystem `fs.delete(partitionPrefix)` — same unit, same
+    * atomicity story.
+    */
+  def dropAbove(spark: SparkSession, path: String, fork: Long,
+      blockCol: String = "block"): Unit = {
+    val forkRange = fork / RangeSize
+    val all = stats(path)
+    // fork's own partition: rewrite only if it actually straddles the
+    // fork (rows on both sides); all-orphaned → plain directory drop
+    if (all.exists(_.blockRange == forkRange)) {
+      val part = read(spark, path)
+        .where(col("blockRange").cast("long") === forkRange)
+      if (!part.where(col(blockCol) > fork).isEmpty) {
+        val keep = part.where(col(blockCol) <= fork)
+        if (keep.isEmpty) deletePartitionDir(path, forkRange)
+        else {
+          // snapshot decouples the overwrite from its own source files
+          // (Spark refuses to overwrite a path it is reading) — the
+          // same pattern as [[compact]]
+          val snap = keep.localCheckpoint()
+          try
+            snap.write
+              .partitionBy("blockRange")
+              .option("partitionOverwriteMode", "dynamic")
+              .mode(SaveMode.Overwrite)
+              .parquet(path)
+          finally snap.queryExecution.analyzed.collect {
+            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+          }.foreach(_.unpersist(blocking = false))
+        }
+      }
+    }
+    all.filter(_.blockRange > forkRange)
+      .foreach(st => deletePartitionDir(path, st.blockRange))
+  }
+
+  private def deletePartitionDir(path: String, range: Long): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    val d = new java.io.File(path, s"blockRange=$range")
+    if (d.exists()) rm(d)
+  }
 }

@@ -69,6 +69,21 @@ object IncrementalIngest {
     n
   }
 
+  /** Reorg under the ingest lifecycle (reference omniEngine.py main
+    * loop: a tip-hash mismatch triggers reorgRollback(fork) and the
+    * follower resumes syncing from fork+1). The storage truncation is
+    * [[BlockRangeSink.dropAbove]] — physical, tail-partition-only,
+    * idempotent — after which [[BlockRangeSink.watermark]] reads ≤ fork
+    * and the NEXT [[ingest]]/[[ingestFrame]] cycle admits the winning
+    * branch's blocks through the exact same watermark gate as normal
+    * sync (no special re-admission path to get wrong). Returns the
+    * post-rollback watermark.
+    */
+  def reorg(spark: SparkSession, factsDir: String, fork: Long): Long = {
+    BlockRangeSink.dropAbove(spark, factsDir, fork)
+    BlockRangeSink.watermark(spark, factsDir)
+  }
+
   /** Re-derive all state from the facts store (the reference's per-block
     * derived-table updates, done as one deterministic batch).
     */

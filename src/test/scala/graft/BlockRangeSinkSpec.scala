@@ -28,6 +28,44 @@ class BlockRangeSinkSpec extends SparkTestBase {
     assert(BlockRangeSink.truncateTo(spark, dir, 1200L).count() == 1200L)
   }
 
+  test("dropAbove physically truncates the tail: partition dirs removed, " +
+      "straddling range rewritten, watermark falls back, idempotent") {
+    val dir = Files.createTempDirectory("graft_sink_reorg").toString
+    val batch = (1L to 3500L).map(b => (b, s"tx$b")).toDF("block", "txid")
+    BlockRangeSink.write(batch, dir)
+    assert(BlockRangeSink.stats(dir).map(_.blockRange) == Seq(0L, 1L, 2L, 3L))
+
+    // fork mid-range-1: range 1 is rewritten (keep 1000..1200), ranges
+    // 2..3 are DIRECTORY deletes — the tail-only property
+    BlockRangeSink.dropAbove(spark, dir, 1200L)
+    assert(BlockRangeSink.stats(dir).map(_.blockRange) == Seq(0L, 1L))
+    assert(BlockRangeSink.watermark(spark, dir) == 1200L)
+    assert(BlockRangeSink.read(spark, dir).count() == 1200L)
+    // range 0 content untouched
+    assert(BlockRangeSink.read(spark, dir)
+      .where($"blockRange" === 0L).count() == 999L)
+
+    // idempotent: a crashed rollback re-runs safely
+    BlockRangeSink.dropAbove(spark, dir, 1200L)
+    assert(BlockRangeSink.watermark(spark, dir) == 1200L)
+    assert(BlockRangeSink.read(spark, dir).count() == 1200L)
+
+    // the winning branch re-syncs through the ordinary ingest gate and
+    // lands in fresh tail partitions
+    val branch = (1201L to 2100L).map(b => (b, s"alt$b")).toDF("block", "txid")
+    BlockRangeSink.write(branch, dir)
+    assert(BlockRangeSink.watermark(spark, dir) == 2100L)
+    val tail = BlockRangeSink.read(spark, dir)
+      .where($"block" > 1200L).select($"txid").as[String].collect()
+    assert(tail.length == 900 && tail.forall(_.startsWith("alt")))
+
+    // fork wholly below a partition's rows → plain directory drop of
+    // that partition too (no empty-overwrite residue)
+    BlockRangeSink.dropAbove(spark, dir, 999L)
+    assert(BlockRangeSink.stats(dir).map(_.blockRange) == Seq(0L))
+    assert(BlockRangeSink.watermark(spark, dir) == 999L)
+  }
+
   test("compaction merges small files, preserves data, and is idempotent") {
     val dir = Files.createTempDirectory("graft_sink_compact").toString
     // 8 writer tasks per range → 8 small files per partition, the
