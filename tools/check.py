@@ -78,7 +78,13 @@ def connect(sf_dir):
     # mid-sweep on 1000x sorts/windows; with a limit + temp_directory
     # those operators spill to disk instead.
     con.execute("SET temp_directory='/tmp/duck_spill.tmp'")
-    con.execute("SET memory_limit='48GB'")
+    # Default sized to coexist with the sweep's ~25 GB Spark JVM;
+    # GRAFT_DUCK_MEM lets a standalone re-check of one oracle use the
+    # whole box (e.g. mm_resize's ordered string_agg holds 5M group
+    # states that DuckDB cannot spill — it needs ~everything once the
+    # JVM is gone).
+    con.execute(
+        f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '48GB')}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):  # Spark-written (ScaleGen) directory form
