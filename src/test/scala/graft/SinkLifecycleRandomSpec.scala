@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sinks.BlockRangeSink
+import graft.streaming.IncrementalIngest
+
+/** Randomized sink-lifecycle invariants (seeded — deterministic CI):
+  * for ANY interleaving of ingest / reorg / compact / duplicate-replay,
+  * the facts store must track a plain-Scala model exactly. The
+  * example-based specs pin the hand-picked edges (partition boundary,
+  * straddling fork, idempotent re-run); this one walks the whole
+  * lifecycle space the reference's main loop can produce (reference
+  * omniEngine.py main loop + reorgRollback sql.py:85-218): advancing
+  * tips, forks at arbitrary depths (including exactly at a partition
+  * boundary and below all data), compaction between any two steps, and
+  * full-feed replays that must admit nothing.
+  *
+  * Invariants after EVERY step:
+  *  - contents: read(store) == model (exact multiset of (block, txid))
+  *  - watermark == model's max block (−1 when empty is unreachable
+  *    here: the first op is always an ingest and forks stay ≥ min)
+  *  - layout: partition dirs on disk == the model's distinct
+  *    block-ranges — a reorg leaves NO orphaned directory behind
+  *  - replay admits 0: exactly-once survives any reorg/compact history
+  */
+class SinkLifecycleRandomSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def txid(block: Long, branch: Int): String = s"b$branch-t$block"
+
+  private def runLifecycle(seed: Long, steps: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val dir = Files.createTempDirectory(s"graft_sink_rand_$seed").toString
+    // model: block -> txid (one fact per block; branch id makes a
+    // post-reorg replacement at the same height DISTINGUISHABLE — the
+    // exact thing a broken truncation would silently merge)
+    var model = Map.empty[Long, String]
+    var branch = 0
+    // every (block, txid) ever successfully ingested on the CURRENT
+    // chain prefix — the replay feed
+    def ingestBatch(blocks: Seq[Long]): Unit = {
+      if (blocks.nonEmpty) {
+        val rows = blocks.map(b => (b, txid(b, branch)))
+        val admitted = IncrementalIngest.ingestFrame(
+          spark, rows.toDF("block", "txid"), dir)
+        val wm = model.keys.maxOption.getOrElse(-1L)
+        val expectNew = blocks.count(_ > wm)
+        assert(admitted == expectNew,
+          s"seed=$seed: admitted $admitted of ${blocks.size}, " +
+            s"expected $expectNew (wm=$wm)")
+        model ++= rows.filter(_._1 > wm)
+      }
+    }
+
+    def check(step: String): Unit = {
+      val got = BlockRangeSink.read(spark, dir)
+        .select($"block", $"txid").as[(Long, String)].collect().toMap
+      assert(got == model, s"seed=$seed after $step: store has " +
+        s"${got.size} rows vs model ${model.size}; " +
+        s"diff=${(got.toSet diff model.toSet).take(3)}/" +
+        s"${(model.toSet diff got.toSet).take(3)}")
+      val wm = BlockRangeSink.watermark(spark, dir)
+      assert(wm == model.keys.max, s"seed=$seed after $step: wm=$wm")
+      val ranges = BlockRangeSink.stats(dir).map(_.blockRange).toSet
+      val expectRanges =
+        model.keys.map(_ / BlockRangeSink.RangeSize).toSet
+      assert(ranges == expectRanges,
+        s"seed=$seed after $step: dirs $ranges vs $expectRanges")
+    }
+
+    // genesis ingest so the store is never empty
+    ingestBatch(1L to (rnd.nextInt(400) + 100L))
+    check("genesis")
+
+    (1 to steps).foreach { i =>
+      val wm = model.keys.max
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 | 3 =>
+          // advance the tip; gap sizes cross partition boundaries
+          val gap = if (rnd.nextBoolean()) rnd.nextInt(30)
+                    else rnd.nextInt(1500)
+          val n = rnd.nextInt(400) + 1
+          ingestBatch((wm + 1 + gap) to (wm + gap + n))
+          check(s"step$i-ingest")
+        case 4 | 5 | 6 =>
+          // reorg: fork depth biased shallow (realistic) but
+          // occasionally deep / exactly on a boundary / below a whole
+          // partition
+          val fork = rnd.nextInt(4) match {
+            case 0 => wm - rnd.nextInt(5)                  // shallow
+            case 1 => (wm / BlockRangeSink.RangeSize) *
+              BlockRangeSink.RangeSize + (rnd.nextInt(2) - 1) // boundary±1
+            case _ => 1L + rnd.nextLong(wm)                // anywhere
+          }
+          val f = math.max(1L, math.min(fork, wm))
+          val wmBack = IncrementalIngest.reorg(spark, dir, f)
+          model = model.filter(_._1 <= f)
+          assert(wmBack == model.keys.max,
+            s"seed=$seed step$i: reorg($f) returned $wmBack")
+          // the competing branch replaces SOME heights with new payloads
+          branch += 1
+          ingestBatch((f + 1) to (f + rnd.nextInt(300) + 1))
+          check(s"step$i-reorg@$f")
+        case 7 =>
+          BlockRangeSink.compact(spark, dir, targetBytes = 4L << 10)
+          check(s"step$i-compact")
+        case _ =>
+          // full replay of the current winning feed: exactly-once
+          val feed = model.toSeq.map { case (b, t) => (b, t) }
+          val readmitted = IncrementalIngest.ingestFrame(
+            spark, feed.toDF("block", "txid"), dir)
+          assert(readmitted == 0L,
+            s"seed=$seed step$i: replay admitted $readmitted")
+          check(s"step$i-replay")
+      }
+    }
+  }
+
+  test("random ingest/reorg/compact/replay interleavings track the model") {
+    runLifecycle(seed = 11L, steps = 10)
+    runLifecycle(seed = 42L, steps = 10)
+    runLifecycle(seed = 1789L, steps = 10)
+  }
+}
