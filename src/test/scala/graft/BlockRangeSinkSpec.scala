@@ -50,14 +50,22 @@ class BlockRangeSinkSpec extends SparkTestBase {
     assert(BlockRangeSink.watermark(spark, dir) == 1200L)
     assert(BlockRangeSink.read(spark, dir).count() == 1200L)
 
-    // the winning branch re-syncs through the ordinary ingest gate and
-    // lands in fresh tail partitions
+    // the winning branch re-syncs through the ordinary ingest gate —
+    // NOT raw write(): the branch straddles the kept partition (range 1
+    // holds 1000..1200), and a direct dynamic-overwrite write would
+    // clobber those kept rows; ingestFrame's affected-range union is
+    // the contract that preserves them
     val branch = (1201L to 2100L).map(b => (b, s"alt$b")).toDF("block", "txid")
-    BlockRangeSink.write(branch, dir)
+    assert(graft.streaming.IncrementalIngest.ingestFrame(
+      spark, branch, dir) == 900L)
     assert(BlockRangeSink.watermark(spark, dir) == 2100L)
+    assert(BlockRangeSink.read(spark, dir).count() == 2100L)
     val tail = BlockRangeSink.read(spark, dir)
       .where($"block" > 1200L).select($"txid").as[String].collect()
     assert(tail.length == 900 && tail.forall(_.startsWith("alt")))
+    // the kept below-fork slice of the straddling partition survived
+    assert(BlockRangeSink.read(spark, dir)
+      .where($"block".between(1000L, 1200L)).count() == 201L)
 
     // fork wholly below a partition's rows → plain directory drop of
     // that partition too (no empty-overwrite residue)
