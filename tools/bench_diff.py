@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Mechanical bench regression diff: compare a new Bench JSON line
+(BENCH_DETAIL.json / BENCH_LOCAL_r*.json / BENCH_r*.json shape) against
+a baseline one, flagging per-query regressions. Judged on MIN times
+when both sides carry `queries_min` (steady-state, what a long-lived
+cluster job sees); falls back to the median map otherwise. The bar
+mirrors the round-8 A/B protocol: a regression is BOTH >1.3x AND
+>0.3 s absolute — below that is this box's documented cold-JIT /
+ambient variance, not a plan change.
+
+Usage: tools/bench_diff.py BASELINE.json NEW.json [ratio] [abs_s]
+Exit 1 iff any regression is flagged.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    if "queries" not in d and isinstance(d.get("parsed"), dict):
+        d = d["parsed"]  # driver BENCH_r*.json wraps the bench line
+    return d.get("queries_min") or d["queries"], d
+
+
+def main():
+    base, bd = load(sys.argv[1])
+    new, nd = load(sys.argv[2])
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    abs_s = float(sys.argv[4]) if len(sys.argv) > 4 else 0.3
+    shared = sorted(set(base) & set(new))
+    only_b = sorted(set(base) - set(new))
+    only_n = sorted(set(new) - set(base))
+    regressed = [(q, base[q], new[q]) for q in shared
+                 if new[q] > base[q] * ratio and new[q] - base[q] > abs_s]
+    improved = [(q, base[q], new[q]) for q in shared
+                if base[q] > new[q] * ratio and base[q] - new[q] > abs_s]
+    tb = sum(base[q] for q in shared)
+    tn = sum(new[q] for q in shared)
+    print(f"shared {len(shared)} queries: baseline {tb:.1f}s -> "
+          f"new {tn:.1f}s ({(tn - tb) / tb:+.1%} vs baseline)")
+    if only_b:
+        print(f"dropped ({len(only_b)}): {', '.join(only_b)}")
+    if only_n:
+        t = sum(new[q] for q in only_n)
+        print(f"added ({len(only_n)}, {t:.1f}s): {', '.join(only_n)}")
+    for q, b, n in sorted(regressed, key=lambda t: t[1] - t[2]):
+        print(f"REGRESSED {q}: {b:.2f}s -> {n:.2f}s ({n / b:.2f}x)")
+    for q, b, n in sorted(improved, key=lambda t: t[2] - t[1]):
+        print(f"improved  {q}: {b:.2f}s -> {n:.2f}s ({n / b:.2f}x)")
+    if not regressed:
+        print("no regressions over the bar "
+              f"(>{ratio}x and >{abs_s}s on min times)")
+    sys.exit(1 if regressed else 0)
+
+
+if __name__ == "__main__":
+    main()
