@@ -271,18 +271,30 @@ object PropertyRegistry {
           if (create == null) create = (tx, s)
         case -51 =>
           participants += 1
-          purchased += Amounts.toBase(tx.purchasedtokens,
-            tx.purchaseddivisible)
-          issuerTokens += Amounts.toBase(tx.issuertokens,
-            tx.purchaseddivisible)
+          // addExact, not +: the Omni protocol caps any property's
+          // total supply below 2^63 base units (node-validated before
+          // the reference ever stores a tally, which lands in
+          // PropertyData jsonb as an unbounded Python int) — so on a
+          // valid chain these never fire, and on out-of-protocol input
+          // a ledger must fail LOUDLY, never wrap. The 1000× registry
+          // sweep caught the wrap live: its pre-r9 fixture summed
+          // ~1.9e19 base units at sf100 — DuckDB's exact HUGEINT
+          // refused the INT64 cast while this accumulator silently
+          // wrapped negative.
+          purchased = Math.addExact(purchased,
+            Amounts.toBase(tx.purchasedtokens, tx.purchaseddivisible))
+          issuerTokens = Math.addExact(issuerTokens,
+            Amounts.toBase(tx.issuertokens, tx.purchaseddivisible))
         case 53 =>
           // credited exactly once at close (sql.py:1485-1501)
           if (!closed)
             first53Credit = Amounts.toBase(tx.addedissuertokens,
               tx.divisible)
           closed = true
-        case 55 => granted += Amounts.toBase(tx.amount, tx.divisible)
-        case 56 => granted -= Amounts.toBase(tx.amount, tx.divisible)
+        case 55 => granted = Math.addExact(granted,
+          Amounts.toBase(tx.amount, tx.divisible))
+        case 56 => granted = Math.subtractExact(granted,
+          Amounts.toBase(tx.amount, tx.divisible))
         case 70 =>
           issuerOverride =
             Some(tx.referenceaddress.getOrElse(tx.sendingaddress))
@@ -298,7 +310,8 @@ object PropertyRegistry {
     require(first != null, s"empty lifecycle event stream for property $pid")
     val (ctx, cserial) = if (create != null) create else first
     val crowdsale = ctx.typeInt == 51
-    if (crowdsale && closed) issuerTokens += first53Credit
+    if (crowdsale && closed)
+      issuerTokens = Math.addExact(issuerTokens, first53Credit)
     // assembled PropertyData payload (sql.py:1565-1575 + jsonb column)
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""

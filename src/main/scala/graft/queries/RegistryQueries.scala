@@ -20,11 +20,22 @@ import graft.operators.PropertyRegistry
   * divisible (×1e8 base units). The oracle re-derives all of it with
   * windows + conditional aggregation.
   *
-  * Synthetic display amounts are bounded (`cents % 100000`) so the ×1e8
-  * divisible scaling stays far from the BIGINT edge as SF grows — at
-  * sf0.1 the unbounded sum × 1e8 overflowed INT64 (found by running the
-  * whole gate at 10× the driver's SF). The bound keeps every derived
-  * token quantity ≤ ~2e16 through sf10.
+  * Synthetic tally amounts are bounded SF-INDEPENDENTLY: each
+  * purchase/grant contributes `cents // rn` (cents < 1e5, rn the
+  * per-property serial rank), so a property's total is a harmonic sum
+  * ≤ Σ 99999/rn ≤ 99999·(ln 99999 + 1) ≈ 1.3e6 display units — ×1e8
+  * divisible scaling ≈ 1.3e14 base units at ANY scale factor. The two
+  * prior bounds both fell to scaled sweeps: the unbounded sum × 1e8
+  * crossed INT64 at sf0.1 (round-3 10× sweep), and the round-8
+  * flat `cents % 100000` bound crossed it again at the 1000× sweep
+  * (sf100: 3.75M purchases/property × ~5e4 × 1e8 ≈ 1.9e19 — DuckDB's
+  * exact HUGEINT refused the BIGINT cast while the engine's Long
+  * accumulator would have wrapped silently; see the overflow guard in
+  * [[graft.operators.PropertyRegistry.foldKey]]). A linear-in-SF bound
+  * cannot survive scale sweeps; the harmonic one is flat. In the REAL
+  * domain the Omni protocol caps any property's supply below 2^63
+  * (node-validated before the reference ever stores it), so bounded
+  * tallies are the faithful regime, not a test concession.
   */
 object RegistryQueries {
 
@@ -56,14 +67,14 @@ object RegistryQueries {
       |      THEN 1 END) AS participants,
       |    sum(CASE WHEN pid % 2 = 1 AND rn > 1
       |      AND NOT (rn = cnt AND cnt > 1 AND pid % 4 = 1)
-      |      THEN cents ELSE 0 END) AS purchased,
+      |      THEN cents // rn ELSE 0 END) AS purchased,
       |    sum(CASE WHEN pid % 2 = 1 AND rn > 1
       |      AND NOT (rn = cnt AND cnt > 1 AND pid % 4 = 1)
-      |      THEN cents // 10 ELSE 0 END) AS issuer_base,
+      |      THEN (cents // rn) // 10 ELSE 0 END) AS issuer_base,
       |    sum(CASE WHEN pid % 2 = 0 AND rn > 1
       |      AND NOT (rn = cnt AND cnt > 1)
-      |      THEN CASE WHEN rn % 5 = 0 THEN -(cents // 3)
-      |           ELSE cents END ELSE 0 END) AS granted
+      |      THEN CASE WHEN rn % 5 = 0 THEN -((cents // rn) // 3)
+      |           ELSE cents // rn END ELSE 0 END) AS granted
       |  FROM r GROUP BY pid),
       |s AS (SELECT *,
       |    CASE WHEN pid % 3 = 0 THEN 100000000 ELSE 1 END AS mult
@@ -137,12 +148,12 @@ object RegistryQueries {
               referenceaddress = Some("IX"), propertyid = 1L,
               divisible = true, purchasedpropertyid = pid,
               purchaseddivisible = div,
-              purchasedtokens = BigDecimal(cents),
-              issuertokens = BigDecimal(cents / 10))
+              purchasedtokens = BigDecimal(cents / rn),
+              issuertokens = BigDecimal(cents / rn / 10))
           else if (rn % 5 == 0)
-            base.copy(type_int = 56, amount = BigDecimal(cents / 3))
+            base.copy(type_int = 56, amount = BigDecimal(cents / rn / 3))
           else
-            base.copy(type_int = 55, amount = BigDecimal(cents),
+            base.copy(type_int = 55, amount = BigDecimal(cents / rn),
               referenceaddress = Some(s"R$c"))
         (tx, k)
       }
