@@ -1,7 +1,13 @@
 #!/bin/bash
-# Round-9 post-sweep chain: once the 1000x full-registry sweep exits,
-# (1) re-check mm_resize at 1000x standalone with the whole-box oracle
-#     (its ordered-string_agg oracle OOMed at the sweep's 48GB cap),
+# Round-9 post-sweep chain (v2): once the 1000x full-registry sweep
+# exits,
+# (0) refresh the class snapshot (the registry overflow fix landed
+#     mid-sweep; the sweep itself kept its immutable snapshot),
+# (1) re-check the three 1000x stragglers standalone:
+#     - mm_resize / text_cdc_chunks: oracle OOM at the sweep's 48GB
+#       cap -> whole-box oracle via GRAFT_DUCK_MEM,
+#     - property_registry: tally overflow fixed in 773db85 -> re-run
+#       with the new code,
 # (2) run the round-standard sf0.1 full Verify + pandas-mode check,
 # (3) run the final sf0.1 bench over the 142-query registry.
 # Usage: tools/post_sweep_r9.sh SWEEP_PID
@@ -10,14 +16,20 @@ SWEEP_PID="$1"
 while kill -0 "$SWEEP_PID" 2>/dev/null; do sleep 30; done
 echo "=== sweep exited; starting post-sweep chain $(date -u +%H:%M:%S) ==="
 
-echo "--- step 1: mm_resize @1000x, whole-box oracle ---"
-rm -rf /tmp/mm_resize_1000
-SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY=mm_resize SPARK_GRAFT_OUT_PARTS=32 \
-  tools/run_graft.sh graft.Verify /tmp/scale1000 /tmp/mm_resize_1000 \
-  > /tmp/mm_resize_1000.verify.log 2>&1
-GRAFT_DUCK_MEM=100GB python3 tools/check.py --hash \
-  /tmp/scale1000 /tmp/mm_resize_1000 mm_resize 2>/dev/null
-rm -rf /tmp/mm_resize_1000
+echo "--- step 0: refresh class snapshot ---"
+rm -rf /tmp/graft_classes
+cp -r target/scala-2.13/classes /tmp/graft_classes
+
+echo "--- step 1: 1000x straggler re-checks ---"
+for q in mm_resize text_cdc_chunks property_registry; do
+  rm -rf "/tmp/straggler_1000_$q"
+  SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$q" SPARK_GRAFT_OUT_PARTS=32 \
+    tools/run_graft.sh graft.Verify /tmp/scale1000 "/tmp/straggler_1000_$q" \
+    > "/tmp/straggler_1000_$q.verify.log" 2>&1
+  GRAFT_DUCK_MEM=100GB python3 tools/check.py --hash \
+    /tmp/scale1000 "/tmp/straggler_1000_$q" "$q" 2>/dev/null
+  rm -rf "/tmp/straggler_1000_$q"
+done
 
 echo "--- step 2: sf0.1 full registry ---"
 rm -rf /tmp/v01_full
