@@ -2,10 +2,15 @@
 # Run a graft main against a CLASS SNAPSHOT (default /tmp/graft_classes),
 # so long probes are immune to concurrent source edits/recompiles.
 # Usage: tools/run_graft.sh graft.Bench [args...]
-# Env: GRAFT_CLASSES (snapshot dir), SPARK_DRIVER_MEM (default 24g).
+# Env: GRAFT_CLASSES (snapshot dir), SPARK_DRIVER_MEM (default 24g),
+#      GRAFT_SPARK_OPTS (extra -Dspark.* properties, e.g.
+#      -Dspark.driver.maxResultSize=8g for the MemoryStream replay
+#      harnesses at 1000x, whose feed collect is driver-bounded by
+#      design).
 set -u
 CLASSES="${GRAFT_CLASSES:-/tmp/graft_classes}"
 MEM="${SPARK_DRIVER_MEM:-24g}"
+EXTRA="${GRAFT_SPARK_OPTS:-}"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \
@@ -14,4 +19,5 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
 done
 exec java $OPENS -Xmx"$MEM" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  $EXTRA \
   -cp "$CLASSES:/opt/spark/jars/*" "$@"
