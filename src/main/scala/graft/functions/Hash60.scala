@@ -37,6 +37,20 @@ case class Hash60(child: Expression) extends UnaryExpression {
 }
 
 object Hash60 {
+  /** Build from SQL argument expressions, validating arity — mirrors
+    * KmvSketch.fromExprs so graft_hash60(a, b) is an analysis error,
+    * not a silent drop of the second argument.
+    */
+  def fromExprs(exprs: Seq[Expression]): Hash60 = {
+    if (exprs.length != 1) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters =
+          Map("message" -> "graft_hash60(text) takes exactly one argument"))
+    }
+    Hash60(exprs.head)
+  }
+
   private val md = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

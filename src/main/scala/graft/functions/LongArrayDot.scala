@@ -63,6 +63,22 @@ case class LongArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object LongArrayDot {
+  /** Build from SQL argument expressions, validating arity — mirrors
+    * KmvSketch.fromExprs so graft_ldot(a) / graft_ldot(a, b, c) is an
+    * analysis error, not a raw throw / silent drop of extra args.
+    */
+  def fromExprs(exprs: Seq[Expression]): LongArrayDot = {
+    if (exprs.length != 2) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters =
+          Map("message" -> "graft_ldot(a, b) takes exactly two arguments"))
+    }
+    LongArrayDot(exprs.head, exprs(1))
+  }
+}
+
 /** Session registration for graft's native functions. Sessions created
   * by the driver don't carry extensions, so queries call [[register]]
   * idempotently before using `graft_ldot(...)` in expressions.
@@ -71,11 +87,11 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ldot",
-      (exprs: Seq[Expression]) => LongArrayDot(exprs.head, exprs(1)),
+      (exprs: Seq[Expression]) => LongArrayDot.fromExprs(exprs),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hash60",
-      (exprs: Seq[Expression]) => Hash60(exprs.head),
+      (exprs: Seq[Expression]) => Hash60.fromExprs(exprs),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv",
@@ -98,12 +114,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ldot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[LongArrayDot].getCanonicalName, "graft_ldot"),
-      (exprs: Seq[Expression]) => LongArrayDot(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => LongArrayDot.fromExprs(exprs)))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hash60"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[Hash60].getCanonicalName, "graft_hash60"),
-      (exprs: Seq[Expression]) => Hash60(exprs.head)))
+      (exprs: Seq[Expression]) => Hash60.fromExprs(exprs)))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kmv"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -71,6 +71,27 @@ class NfcNormalizeSpec extends SparkTestBase {
     }
   }
 
+  test("graft_hash60 and graft_ldot arity errors are analysis-time too") {
+    val s = registered
+    import s.implicits._
+    val df = Seq(("a", "b")).toDF("x", "y")
+    val h = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("graft_hash60(x, y)")).collect()
+    }
+    assert(h.getMessage.contains("graft_hash60"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("graft_hash60()")).collect()
+    }
+    val arr = Seq((Seq(1L, 2L), Seq(3L, 4L))).toDF("a", "b")
+    val d1 = intercept[org.apache.spark.sql.AnalysisException] {
+      arr.select(expr("graft_ldot(a)")).collect()
+    }
+    assert(d1.getMessage.contains("graft_ldot"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      arr.select(expr("graft_ldot(a, b, a)")).collect()
+    }
+  }
+
   test("ASCII fast path returns the input object without allocation") {
     import org.apache.spark.unsafe.types.UTF8String
     val ascii = UTF8String.fromString("pure ascii, no combining marks")
