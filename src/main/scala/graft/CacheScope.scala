@@ -79,6 +79,28 @@ object CacheScope {
     checkGrowth()
   }
 
+  /** Create a temp directory whose recursive delete is deferred to the
+    * next [[release]]. Streaming-equivalence harnesses copy the feed +
+    * facts store + checkpoint under one such dir — gigabytes at scaled
+    * SFs, so leaking them across a sweep fills the temp filesystem.
+    * Release runs after the query's action completes, the earliest
+    * safe point (the serve reads the facts dir lazily).
+    */
+  def scratchTempDir(prefix: String): java.nio.file.Path = {
+    val base = java.nio.file.Files.createTempDirectory(prefix)
+    defer { () =>
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val children = java.nio.file.Files.list(p)
+          try children.forEach(rm(_)) finally children.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try rm(base) catch { case _: java.io.IOException => () }
+    }
+    base
+  }
+
   /** Unpersist every registered intermediate since the last release. */
   def release(): Unit = scoped.synchronized {
     scoped.foreach(_.apply())

@@ -384,22 +384,7 @@ object StreamingQueries {
     import graft.sinks.BlockRangeSink
     import graft.streaming.IncrementalIngest
 
-    val base = java.nio.file.Files.createTempDirectory("graft_chain_stream")
-    // The feed copy + facts store + checkpoint are scratch for THIS
-    // evaluation only; at scaled SFs they are gigabytes, so leaking
-    // them across a sweep fills the temp filesystem. The harness's
-    // scoped release runs after the result is materialized, which is
-    // the earliest safe point (chainServe reads factsDir lazily).
-    graft.CacheScope.defer { () =>
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val children = java.nio.file.Files.list(p)
-          try children.forEach(rm(_)) finally children.close()
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      try rm(base) catch { case _: java.io.IOException => () }
-    }
+    val base = graft.CacheScope.scratchTempDir("graft_chain_stream")
     val feedDir = base.resolve("feed").toString
     val factsDir = base.resolve("facts").toString
     val ckpt = base.resolve("ckpt").toString
@@ -519,17 +504,7 @@ object StreamingQueries {
     import graft.sinks.BlockRangeSink
     import graft.streaming.IncrementalIngest
 
-    val base = java.nio.file.Files.createTempDirectory("graft_reorg_stream")
-    graft.CacheScope.defer { () =>
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val children = java.nio.file.Files.list(p)
-          try children.forEach(rm(_)) finally children.close()
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      try rm(base) catch { case _: java.io.IOException => () }
-    }
+    val base = graft.CacheScope.scratchTempDir("graft_reorg_stream")
     val feedDir = base.resolve("feed").toString
     val factsDir = base.resolve("facts").toString
     val ckpt = base.resolve("ckpt").toString

@@ -164,9 +164,17 @@ object BlockRangeSink {
   }
 
   private def deletePartitionDir(path: String, range: Long): Unit = {
+    // A swallowed failed delete here is the silent-rejection failure
+    // mode dropAbove exists to prevent: the orphaned tip would keep
+    // feeding watermark() and the ingest gate would reject the winning
+    // branch forever. Fail loudly instead.
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
+      if (!f.delete() && f.exists()) {
+        throw new java.io.IOException(
+          s"dropAbove: could not delete $f — aborting rollback so the " +
+            "orphaned range is not silently retained above the fork")
+      }
     }
     val d = new java.io.File(path, s"blockRange=$range")
     if (d.exists()) rm(d)

@@ -54,12 +54,19 @@ class SinkLifecycleRandomSpec extends SparkTestBase {
     }
 
     def check(step: String): Unit = {
-      val got = BlockRangeSink.read(spark, dir)
-        .select($"block", $"txid").as[(Long, String)].collect().toMap
-      assert(got == model, s"seed=$seed after $step: store has " +
-        s"${got.size} rows vs model ${model.size}; " +
-        s"diff=${(got.toSet diff model.toSet).take(3)}/" +
-        s"${(model.toSet diff got.toSet).take(3)}")
+      // Multiset compare: a toMap here would collapse duplicate rows
+      // at the same block height — exactly the orphaned-row-plus-
+      // branch-row store a broken truncation produces.
+      val rows = BlockRangeSink.read(spark, dir)
+        .select($"block", $"txid").as[(Long, String)].collect().toSeq
+      val got = rows.groupBy(identity).map { case (r, g) => (r, g.size) }
+      val want = model.toSeq.groupBy(identity)
+        .map { case (r, g) => (r, g.size) }
+      assert(got == want, s"seed=$seed after $step: store has " +
+        s"${rows.size} rows vs model ${model.size}; " +
+        s"diff=${(got.keySet diff want.keySet).take(3)}/" +
+        s"${(want.keySet diff got.keySet).take(3)}; " +
+        s"dups=${got.filter(_._2 > 1).take(3)}")
       val wm = BlockRangeSink.watermark(spark, dir)
       assert(wm == model.keys.max, s"seed=$seed after $step: wm=$wm")
       val ranges = BlockRangeSink.stats(dir).map(_.blockRange).toSet

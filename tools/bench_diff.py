@@ -20,12 +20,19 @@ def load(path):
         d = json.load(f)
     if "queries" not in d and isinstance(d.get("parsed"), dict):
         d = d["parsed"]  # driver BENCH_r*.json wraps the bench line
-    return d.get("queries_min") or d["queries"], d
+    return d
 
 
 def main():
-    base, bd = load(sys.argv[1])
-    new, nd = load(sys.argv[2])
+    bd = load(sys.argv[1])
+    nd = load(sys.argv[2])
+    # min-vs-min only when BOTH sides carry queries_min: a per-file
+    # fallback would silently diff one side's mins against the other's
+    # medians, and the median/min gap alone can cross the bar.
+    if "queries_min" in bd and "queries_min" in nd:
+        base, new = bd["queries_min"], nd["queries_min"]
+    else:
+        base, new = bd["queries"], nd["queries"]
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
     abs_s = float(sys.argv[4]) if len(sys.argv) > 4 else 0.3
     shared = sorted(set(base) & set(new))

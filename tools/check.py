@@ -126,7 +126,11 @@ def hash_compare(con, name, spark_src, oracle_sql):
             parts.append(e)
             sig.append((c, ty))
         row = ", ".join(parts)
-        q = (f"SELECT count(*) AS n, bit_xor(hash(ROW({row}))) AS h "
+        # sum, not bit_xor: xor cancels rows with even multiplicity, so
+        # equal-count results whose differing rows pair up would pass.
+        # sum(UBIGINT) is exact HUGEINT in DuckDB — same streamed cost,
+        # no blind spot.
+        q = (f"SELECT count(*) AS n, sum(hash(ROW({row}))) AS h "
              f"FROM ({src_sql})")
         n, h = con.sql(q).fetchone()
         return int(n), h, tuple(sig)
