@@ -319,4 +319,27 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("MapElements"),
       s"typed map lambda returned to the a6 offer build:\n$p")
   }
+
+  test("bench actions: fullEval's wrapper eliminates the final sort; ordered keeps it") {
+    // Pins the mechanism behind SPARK_GRAFT_ACTION=ordered: an
+    // order-insensitive aggregate placed on top of a query (fullEval's
+    // hash/xor fold) lets EliminateSorts drop the presentation ORDER BY
+    // — the documented fullEval residual — while the query's own plan,
+    // executed with nothing on top (queryExecution.toRdd), must retain
+    // the SortExec. If Catalyst ever stops eliminating the sort under
+    // the wrapper, fullEval and ordered converge and the residual note
+    // in Bench.scala is stale; if the raw plan ever loses its sort, the
+    // ordered action no longer times what it claims.
+    import org.apache.spark.sql.functions.{col, struct, xxhash64}
+    val q = AggQueries.a4.run(spark, dir) // ends in a plain global ORDER BY
+    val raw = q.queryExecution.executedPlan.toString
+    assert(raw.contains("SortExec") || raw.contains("Sort ["),
+      s"a4's own plan lost its final sort:\n$raw")
+    val wrapped = q
+      .select(xxhash64(struct(q.columns.map(col): _*)).as("h"))
+      .agg(org.apache.spark.sql.functions.expr("bit_xor(h)"))
+    val wp = wrapped.queryExecution.executedPlan.toString
+    assert(!wp.contains("SortExec") && !wp.contains("TakeOrdered"),
+      s"sort survived under the order-insensitive wrapper — fullEval residual note is stale:\n$wp")
+  }
 }
