@@ -7,7 +7,12 @@ order: re-checks override the original sweep row. Output is a summary
 line plus a markdown table of non-OK rows (the OK bulk is a count —
 the PERF record wants the exceptions, not 140 green rows).
 
-Usage: tools/sweep_summary.py SWEEP_LOG [CHAIN_LOG ...]
+Usage: tools/sweep_summary.py [--hash-only] SWEEP_LOG [CHAIN_LOG ...]
+
+--hash-only keeps only hash-mode OK lines ("(N rows, hash)") — the
+1000x protocol's fingerprint. Chain logs can interleave sf0.1
+pandas-mode OK lines (step-1 tails), which must not override a 1000x
+FAIL for the same query.
 """
 import re
 import sys
@@ -31,8 +36,12 @@ def classify(detail: str) -> str:
 
 
 def main() -> int:
+    args = sys.argv[1:]
+    hash_only = "--hash-only" in args
+    if hash_only:
+        args = [a for a in args if a != "--hash-only"]
     status = {}
-    for path in sys.argv[1:]:
+    for path in args:
         try:
             text = open(path).read()
         except OSError as e:
@@ -42,6 +51,8 @@ def main() -> int:
             m = LINE.match(line.strip())
             if m:
                 st, name, detail = m.groups()
+                if hash_only and st == "OK" and "hash" not in detail:
+                    continue
                 status[name] = (st, detail, path)
     ok = sorted(n for n, (s, _, _) in status.items() if s == "OK")
     bad = sorted(n for n, (s, _, _) in status.items() if s != "OK")
