@@ -78,6 +78,14 @@ def connect(sf_dir):
     # mid-sweep on 1000x sorts/windows; with a limit + temp_directory
     # those operators spill to disk instead.
     con.execute("SET temp_directory='/tmp/duck_spill.tmp'")
+    # Neither compare path depends on result order (norm() sorts the
+    # frames; hash mode folds to one order-insensitive row), so let
+    # DuckDB drop insertion-order preservation: big CTE pipelines then
+    # stream instead of buffering for order, which at 1000x is the
+    # difference between finishing and exhausting the spill disk
+    # (e2e_ingest_full's oracle needed >60 GB of spill with order
+    # preserved).
+    con.execute("SET preserve_insertion_order=false")
     # Default sized to coexist with the sweep's ~25 GB Spark JVM;
     # GRAFT_DUCK_MEM lets a standalone re-check of one oracle use the
     # whole box (e.g. mm_resize's ordered string_agg holds 5M group
