@@ -10,11 +10,23 @@
 # Usage: tools/post_sweep_r9c.sh V3_PID V3_LOG
 set -u
 V3_PID="$1"; V3_LOG="${2:-/tmp/post_sweep_r9b.log}"
+# Settled one-box bounds — no point re-burning 30+ min each:
+# m4_reorg_flagship's ENGINE needs >60 GB spill at 1000x (two full
+# flagship serves; its standalone 48g re-run died in
+# UnsafeExternalSorter spill on the empty scratch disk), and
+# metadex_settlement's engine already hash-passed 1000x in the r8
+# dedicated probe while its oracle exceeds the box's spill.
+# metadex_settlement's v3 re-check is already running with the final
+# harness config (streamed, order-free oracle); repeating an identical
+# attempt in v4 adds nothing whichever way it lands.
+SKIP="m4_reorg_flagship
+metadex_settlement"
 while kill -0 "$V3_PID" 2>/dev/null; do sleep 30; done
 echo "=== v3 chain exited; mop-up v4 $(date -u +%H:%M:%S) ==="
 # A straggler is settled iff the v3 log has an OK line for it.
 redo=$(grep '^FAIL' /tmp/sweep1000.log | sed 's/^FAIL \([a-z0-9_]*\):.*/\1/' | sort -u |
-       while read -r q; do grep -q "^OK   $q " "$V3_LOG" || echo "$q"; done)
+       while read -r q; do grep -q "^OK   $q " "$V3_LOG" || echo "$q"; done |
+       grep -vxF "$SKIP")
 echo "redo: $redo"
 for q in $redo; do
   rm -rf "/tmp/straggler_1000_$q"
