@@ -178,8 +178,8 @@ object Bench {
     * scale a global sort is a range-shuffle + per-partition sort of
     * the FINAL (small) output, so the untimed cost is bounded by
     * output size, not input size — acceptable for throughput
-    * comparison; time sort-bearing queries with a limit/collect tail
-    * when the sort itself is under study. Map columns hash via
+    * comparison; SPARK_GRAFT_ACTION=ordered times it when the sort
+    * itself is under study. Map columns hash via
     * to_json (hash() rejects MapType); the hash+xor tail itself is
     * codegen'd and stream-shaped, adding no shuffle.
     */
