@@ -10,23 +10,22 @@
 # Usage: tools/post_sweep_r9c.sh V3_PID V3_LOG
 set -u
 V3_PID="$1"; V3_LOG="${2:-/tmp/post_sweep_r9b.log}"
-# Settled one-box bounds — no point re-burning 30+ min each:
-# m4_reorg_flagship's ENGINE needs >60 GB spill at 1000x (two full
-# flagship serves; its standalone 48g re-run died in
-# UnsafeExternalSorter spill on the empty scratch disk), and
-# metadex_settlement's engine already hash-passed 1000x in the r8
-# dedicated probe while its oracle exceeds the box's spill.
-# metadex_settlement's v3 re-check is already running with the final
-# harness config (streamed, order-free oracle); repeating an identical
-# attempt in v4 adds nothing whichever way it lands.
-SKIP="m4_reorg_flagship
-metadex_settlement"
+# Only the v3 attempts that were INVALIDATED are worth repeating:
+# dedup_incremental and dedup_minhash_lsh ran while ~45 GB of
+# deleted-open spill from the live sweep JVM had the scratch disk at
+# zero, and e2e_ingest_full's oracle ran before check.py dropped
+# DuckDB insertion-order preservation (the change that took
+# metadex_settlement's 540M-row oracle from disk-dead to hash-green).
+# Everything else v3 re-checked under its final config, and those
+# outcomes are the answer: m4_reorg_flagship's ENGINE needs >60 GB of
+# sort spill at 1000x (two flagship serves), mm_resize's oracle holds
+# 5M unspillable string_agg states past the box's RAM, and the three
+# MemoryStream replay harnesses hit the JVM's 2 GB single-array limit
+# collecting the 1000x feed — driver-bounded BY DESIGN (the
+# file-source gates own unbounded scale and are 1000x-green).
+redo="dedup_incremental dedup_minhash_lsh e2e_ingest_full"
 while kill -0 "$V3_PID" 2>/dev/null; do sleep 30; done
 echo "=== v3 chain exited; mop-up v4 $(date -u +%H:%M:%S) ==="
-# A straggler is settled iff the v3 log has an OK line for it.
-redo=$(grep '^FAIL' /tmp/sweep1000.log | sed 's/^FAIL \([a-z0-9_]*\):.*/\1/' | sort -u |
-       while read -r q; do grep -q "^OK   $q " "$V3_LOG" || echo "$q"; done |
-       grep -vxF "$SKIP")
 echo "redo: $redo"
 for q in $redo; do
   rm -rf "/tmp/straggler_1000_$q"
