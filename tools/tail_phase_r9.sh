@@ -16,7 +16,7 @@ set -u
 FP="$1"
 while kill -0 "$FP" 2>/dev/null; do sleep 30; done
 echo "=== final phase exited; tail phase $(date -u +%H:%M:%S) ==="
-for q in dedup_incremental dedup_minhash_lsh m4_reorg_flagship; do
+for q in dedup_incremental e2e_ingest_full dedup_minhash_lsh m4_reorg_flagship; do
   rm -rf "/tmp/straggler_1000_$q"
   timeout 5400 env SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$q" \
     SPARK_GRAFT_OUT_PARTS=32 SPARK_DRIVER_MEM=48g \
