@@ -27,12 +27,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = GraftConf(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-footer paths so the first timed query
@@ -80,6 +78,11 @@ object Bench {
     //    the codegen'd plan produces. Used for the sort-residual
     //    measurement (PERF.md round 9).
     val action = sys.env.getOrElse("SPARK_GRAFT_ACTION", "fulleval")
+    // Fail fast on a typo ('order', 'Ordered'): an unrecognized value
+    // silently falling back to fullEval would report the wrong action's
+    // timings with no error (r9 ADVICE).
+    require(Set("fulleval", "count", "ordered")(action),
+      s"SPARK_GRAFT_ACTION must be fulleval|count|ordered, got '$action'")
     val legacyCount = action == "count"
     val orderedAction = action == "ordered"
     // (seconds, succeeded) — a failed run must never improve the
@@ -145,11 +148,14 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMin = mins.map(_._2).filter(_ >= 0).sum
     val detail =
-      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":${mapJson(results)},"queries_min":${mapJson(mins)},"total_min":${fmt(totalMin)},"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","action":"$action","queries":${mapJson(results)},"queries_min":${mapJson(mins)},"total_min":${fmt(totalMin)},"sf":"$sfDir"}"""
     // Full per-query map: one stdout line (may be cut from the tail) and
-    // a repo-local file the judge can read.
+    // a repo-local file the judge can read. The repo artifact is written
+    // ONLY for the honest fullEval action — a count/ordered measurement
+    // experiment must not overwrite it with indistinguishable numbers
+    // (r9 ADVICE); the "action" field stamps every emitted line anyway.
     println(detail)
-    try {
+    if (action == "fulleval") try {
       val repo = new java.io.File("/root/repo")
       if (repo.isDirectory) {
         val w = new java.io.PrintWriter(new java.io.File(repo, "BENCH_DETAIL.json"))
@@ -160,7 +166,7 @@ object Bench {
     // the 2000-char tail window with room for the sbt trailer.
     val top = results.sortBy(-_._2).take(25).sortBy(_._1)
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapJson(top)},"n_queries":${results.size},"n_failed":$nFailed,"top_only":25,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","action":"$action","queries":${mapJson(top)},"n_queries":${results.size},"n_failed":$nFailed,"top_only":25,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -106,4 +106,21 @@ object CacheScope {
     scoped.foreach(_.apply())
     scoped.clear()
   }
+
+  /** Scope marker for MID-QUERY partial release: a builder that runs
+    * several heavyweight phases sequentially (m4_reorg_flagship's two
+    * fork serves) marks the scope before each phase and releases only
+    * that phase's registrations once its result is materialized — the
+    * phase's cache/scratch is freed before the next phase runs, while
+    * registrations from OUTSIDE the phase (shared inputs, the
+    * materialized phase results themselves) stay scoped until the
+    * harness's ordinary end-of-query [[release]].
+    */
+  def mark(): Int = scoped.synchronized(scoped.size)
+
+  /** Release every entry registered since [[mark]] returned `m`. */
+  def releaseSince(m: Int): Unit = scoped.synchronized {
+    scoped.drop(m).foreach(_.apply())
+    scoped.remove(m, scoped.size - m)
+  }
 }

@@ -7,14 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = GraftConf(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       // the production registration path for graft's native functions
       // (queries also call GraftFunctions.register for foreign sessions)
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (!spark.sessionState.functionRegistry.functionExists(

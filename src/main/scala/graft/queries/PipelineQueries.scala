@@ -703,8 +703,26 @@ object PipelineQueries {
     Seq(("mid_purchases", purBase + dimRow.getLong(1) / 2L),
         ("mid_admin", adminBase + 199L))
       .map { case (label, fork) =>
-        fullServe(s, dir, raw, fork, Some(fork))
+        // The two fork serves run SEQUENTIALLY, not as one lazy union:
+        // each serve is a full 19-type flagship derivation (~45 GB of
+        // shuffle/spill at 1000×), and a lazy union evaluates both in
+        // one job so their scratch COEXISTS (>62 GB — more than the
+        // sweep box holds in any codec; r9 PERF). The eager
+        // localCheckpoint materializes this fork's bounded
+        // address×property result, then the serve's internal persists
+        // are released and its now-unreferenced shuffle files handed to
+        // ContextCleaner (GC-prompted) BEFORE the next fork starts —
+        // peak scratch is one serve, not two. The checkpoints
+        // themselves stay registered for the harness's ordinary
+        // end-of-query release.
+        val m = graft.CacheScope.mark()
+        val snap = fullServe(s, dir, raw, fork, Some(fork))
           .withColumn("fork_label", lit(label))
+          .localCheckpoint()
+        graft.CacheScope.releaseSince(m)
+        graft.CacheScope.register(snap)
+        System.gc() // prompt ContextCleaner to drop the serve's shuffles
+        snap: DataFrame
       }
       .reduce(_ unionByName _)
   }

@@ -1,5 +1,7 @@
 package graft.sinks
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,18 +18,89 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB, blockRange is also the pruning key: incremental runs and
   * reorg checks touch only the tail partitions.
+  *
+  * All metadata operations (watermark probe, stats, partition deletes,
+  * the writer lock) go through the Hadoop `FileSystem` API resolved
+  * from the path + the session's hadoopConfiguration — the same code
+  * path works against `file://`, HDFS, or an S3A table root; nothing
+  * here assumes a local filesystem.
+  *
+  * Mutation concurrency — SINGLE WRITER (reference M10,
+  * omniEngine.py:11-36: one lockfile around the whole engine):
+  * [[write]], [[compact]] and [[dropAbove]] all rewrite partitions via
+  * dynamic-partition overwrite, which is idempotent against a CRASH of
+  * the same logical operation but not against a CONCURRENT different
+  * one (a cron'd compactor racing a reorg rollback could resurrect a
+  * dropped partition from its snapshot). Each therefore takes a
+  * sink-level writer lock — an atomic create of `_graft_writer.lock`
+  * under the table root — and a second concurrent mutator fails loudly
+  * instead of interleaving. Readers never look at the lock (leading
+  * `_` names are invisible to Spark's file index). A lock orphaned by
+  * a crashed writer must be cleared explicitly with [[forceUnlock]] —
+  * loud recovery is the point; silent expiry would re-admit the race.
   */
 object BlockRangeSink {
 
   val RangeSize = 1000L
 
+  val LockName = "_graft_writer.lock"
+
+  /** Hadoop conf for FS resolution: the active session's (carries
+    * cluster credentials/filesystem settings) when one exists, else a
+    * default conf (specs constructing paths before the session is up).
+    */
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def fsFor(path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(hadoopConf), p)
+  }
+
+  /** Sink-level single-writer guard. `fs.create(overwrite = false)` is
+    * the atomic primitive (atomic on HDFS and object-store committers;
+    * check-then-create on the local RawLocalFileSystem, which is the
+    * test stand-in, not the deployment target). Always released on
+    * exit — including failure — so only a process CRASH leaves the
+    * lock behind, and that case is [[forceUnlock]]'s.
+    */
+  private def withWriterLock[T](path: String)(body: => T): T = {
+    val (fs, root) = fsFor(path)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val lock = new Path(root, LockName)
+    val out =
+      try fs.create(lock, /* overwrite = */ false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"BlockRangeSink: writer lock $lock is held — a concurrent " +
+              "mutation (write/compact/dropAbove) is in flight. The sink " +
+              "is single-writer; if the holder crashed, clear it with " +
+              "forceUnlock.", e)
+      }
+    out.close()
+    try body finally fs.delete(lock, false)
+  }
+
+  /** Clear a writer lock orphaned by a crashed mutator. Deliberate,
+    * named recovery — never called implicitly.
+    */
+  def forceUnlock(path: String): Boolean = {
+    val (fs, root) = fsFor(path)
+    fs.delete(new Path(root, LockName), false)
+  }
+
   def write(df: DataFrame, path: String, blockCol: String = "block"): Unit =
-    df.withColumn("blockRange", expr(s"$blockCol div $RangeSize"))
-      .write
-      .partitionBy("blockRange")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(SaveMode.Overwrite)
-      .parquet(path)
+    withWriterLock(path) {
+      df.withColumn("blockRange", expr(s"$blockCol div $RangeSize"))
+        .write
+        .partitionBy("blockRange")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite)
+        .parquet(path)
+    }
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -39,10 +112,10 @@ object BlockRangeSink {
     */
   def watermark(spark: SparkSession, path: String,
       blockCol: String = "block"): Long = {
-    val p = new java.io.File(path)
-    if (!p.exists() || p.listFiles() == null ||
-      !p.listFiles().exists(_.getName.startsWith("blockRange=")))
-      -1L
+    val (fs, root) = fsFor(path)
+    val hasParts = fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("blockRange="))
+    if (!hasParts) -1L
     else {
       // partition values are re-inferred on read (int), hence the casts
       val maxRange = read(spark, path)
@@ -59,15 +132,18 @@ object BlockRangeSink {
     */
   final case class RangeStats(blockRange: Long, nFiles: Int, bytes: Long)
 
-  def stats(path: String): Seq[RangeStats] =
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("blockRange="))
+  def stats(path: String): Seq[RangeStats] = {
+    val (fs, root) = fsFor(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("blockRange="))
       .map { d =>
-        val files = Option(d.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        RangeStats(d.getName.stripPrefix("blockRange=").toLong,
-          files.length, files.map(_.length()).sum)
+        val files = fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        RangeStats(d.getPath.getName.stripPrefix("blockRange=").toLong,
+          files.length, files.map(_.getLen).sum)
       }.sortBy(_.blockRange)
+  }
 
   /** Small-file compaction: every incremental batch appends files to
     * its tail partitions, and a year of per-block commits leaves
@@ -81,7 +157,7 @@ object BlockRangeSink {
     * write from the source files. Returns the compacted ranges.
     */
   def compact(spark: SparkSession, path: String,
-      targetBytes: Long = 128L << 20): Seq[Long] = {
+      targetBytes: Long = 128L << 20): Seq[Long] = withWriterLock(path) {
     val todo = stats(path).filter { s =>
       s.nFiles > math.max(1, math.ceil(s.bytes.toDouble / targetBytes).toInt)
     }
@@ -120,18 +196,16 @@ object BlockRangeSink {
     * winning branch (it admits only blocks > watermark).
     *
     * Partition-pruned by construction: every partition strictly above
-    * the fork's range is removed as a directory delete (no data scan),
-    * and only the fork's OWN partition is rewritten — so at 100 TB a
-    * reorg costs one tail-partition rewrite plus metadata deletes,
-    * never a table pass. Idempotent: a crashed/re-run rollback finds
-    * the tail already gone and rewrites the fork partition to the same
-    * bytes (same dynamic-overwrite mechanism as [[write]]/[[compact]]).
-    * Directory removal is the local-FS stand-in for a cluster
-    * catalog/filesystem `fs.delete(partitionPrefix)` — same unit, same
-    * atomicity story.
+    * the fork's range is removed as an `fs.delete(partitionDir)` (no
+    * data scan), and only the fork's OWN partition is rewritten — so at
+    * 100 TB a reorg costs one tail-partition rewrite plus metadata
+    * deletes, never a table pass. Idempotent: a crashed/re-run rollback
+    * finds the tail already gone and rewrites the fork partition to the
+    * same bytes (same dynamic-overwrite mechanism as
+    * [[write]]/[[compact]]).
     */
   def dropAbove(spark: SparkSession, path: String, fork: Long,
-      blockCol: String = "block"): Unit = {
+      blockCol: String = "block"): Unit = withWriterLock(path) {
     val forkRange = fork / RangeSize
     val all = stats(path)
     // fork's own partition: rewrite only if it actually straddles the
@@ -168,15 +242,12 @@ object BlockRangeSink {
     // mode dropAbove exists to prevent: the orphaned tip would keep
     // feeding watermark() and the ingest gate would reject the winning
     // branch forever. Fail loudly instead.
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      if (!f.delete() && f.exists()) {
-        throw new java.io.IOException(
-          s"dropAbove: could not delete $f — aborting rollback so the " +
-            "orphaned range is not silently retained above the fork")
-      }
+    val (fs, root) = fsFor(path)
+    val d = new Path(root, s"blockRange=$range")
+    if (fs.exists(d) && !fs.delete(d, /* recursive = */ true)) {
+      throw new java.io.IOException(
+        s"dropAbove: could not delete $d — aborting rollback so the " +
+          "orphaned range is not silently retained above the fork")
     }
-    val d = new java.io.File(path, s"blockRange=$range")
-    if (d.exists()) rm(d)
   }
 }

@@ -74,6 +74,39 @@ class BlockRangeSinkSpec extends SparkTestBase {
     assert(BlockRangeSink.watermark(spark, dir) == 999L)
   }
 
+  test("single-writer lock: a concurrent second mutator fails loudly; " +
+      "forceUnlock recovers a crashed holder; readers ignore the lock") {
+    val dir = Files.createTempDirectory("graft_sink_lock").toString
+    val batch = (1L to 1500L).map(b => (b, s"tx$b")).toDF("block", "txid")
+    BlockRangeSink.write(batch, dir) // lock taken and released internally
+
+    // simulate an in-flight writer (or a crashed one): the lock file
+    // exists at the table root
+    val lock = new java.io.File(dir, BlockRangeSink.LockName)
+    assert(lock.createNewFile(), "test could not plant the lock")
+    intercept[IllegalStateException] {
+      BlockRangeSink.write(batch, dir)
+    }
+    intercept[IllegalStateException] {
+      BlockRangeSink.compact(spark, dir)
+    }
+    intercept[IllegalStateException] {
+      BlockRangeSink.dropAbove(spark, dir, 1200L)
+    }
+    // readers are unaffected: leading-underscore names are invisible to
+    // Spark's file index, and the metadata probes filter on blockRange=
+    assert(BlockRangeSink.read(spark, dir).count() == 1500L)
+    assert(BlockRangeSink.watermark(spark, dir) == 1500L)
+    assert(BlockRangeSink.stats(dir).map(_.blockRange) == Seq(0L, 1L))
+
+    // crashed-holder recovery is explicit, then mutation proceeds
+    assert(BlockRangeSink.forceUnlock(dir))
+    BlockRangeSink.dropAbove(spark, dir, 1200L)
+    assert(BlockRangeSink.watermark(spark, dir) == 1200L)
+    // the lock does not outlive the mutation
+    assert(!lock.exists())
+  }
+
   test("compaction merges small files, preserves data, and is idempotent") {
     val dir = Files.createTempDirectory("graft_sink_compact").toString
     // 8 writer tasks per range → 8 small files per partition, the

@@ -23,8 +23,25 @@ def norm(df):
         if str(df[c].dtype).startswith("datetime64") and getattr(
                 df[c].dt, "tz", None) is not None:
             df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
+    # Bit-pattern tiebreakers for float columns: value-semantics sorting
+    # treats -0.0 == 0.0 and ties NaNs, so a tie group differing only in
+    # float bit patterns would order nondeterministically (DuckDB's
+    # preserve_insertion_order=false makes oracle-side row order
+    # genuinely arbitrary) and flaky-FAIL the bit-strict compare in
+    # exactly the -0.0/NaN class it targets. Sorting the tie group by
+    # the raw bits makes both frames' orders canonical, so equal
+    # MULTISETS (the driver's contract) compare equal.
+    keys = list(df.columns)
+    bitcols = []
+    for c in keys:
+        view = {np.dtype("float64"): "int64",
+                np.dtype("float32"): "int32"}.get(df[c].dtype)
+        if view is not None:
+            bc = f"__bits_{c}"
+            df[bc] = np.ascontiguousarray(df[c].to_numpy()).view(view)
+            bitcols.append(bc)
+    df = df.sort_values(by=keys + bitcols).reset_index(drop=True)
+    return df.drop(columns=bitcols)
 
 
 def frames_equal(a, b):
@@ -64,6 +81,14 @@ def selftest():
     f32 = pd.DataFrame({"v": np.array([-0.0], dtype=np.float32)})
     g32 = pd.DataFrame({"v": np.array([0.0], dtype=np.float32)})
     assert not frames_equal(f32, g32), "float32 -0.0 vs +0.0 must FAIL"
+    # norm()'s bit tiebreaker: the same multiset {−0.0, 0.0} in opposite
+    # row orders must normalize to one canonical order and compare
+    # equal (pre-tiebreaker this was order-nondeterministic and could
+    # flaky-FAIL under preserve_insertion_order=false)
+    ab = norm(pd.DataFrame({"k": [1, 1], "v": [0.0, -0.0]}))
+    ba = norm(pd.DataFrame({"k": [1, 1], "v": [-0.0, 0.0]}))
+    assert frames_equal(ab, ba), "equal multisets must pass after norm"
+    assert list(ab.columns) == ["k", "v"], "tiebreaker cols must be dropped"
     print("selftest OK: bit-strict float compare verified")
 
 
@@ -102,15 +127,29 @@ def connect(sf_dir):
     return con
 
 
-def hash_compare(con, name, spark_src, oracle_sql):
+def hash_compare(con, name, spark_src, oracle_sql, slice_spec=None):
     """Memory-bounded compare for 1000x-scale sweeps: both sides are
-    reduced INSIDE DuckDB to (row count, xor of per-row hashes over the
-    name-sorted column struct) — no pandas materialization, so a 500M-row
-    result costs a streamed scan, not 25 GB of frames. Both hashes come
-    from the SAME engine, so engine-specific hash quirks cancel; dtype
-    mismatches still fail (DuckDB hash is type-sensitive, same contract
-    as the pandas path's dtype-sensitive equals). TIMESTAMP WITH TIME
-    ZONE normalizes to naive UTC, mirroring norm().
+    reduced INSIDE DuckDB to (row count, exact HUGEINT sum of per-row
+    hashes over the name-sorted column struct) — no pandas
+    materialization, so a 500M-row result costs a streamed scan, not
+    25 GB of frames. Both hashes come from the SAME engine, so
+    engine-specific hash quirks cancel; dtype mismatches still fail
+    (DuckDB hash is type-sensitive, same contract as the pandas path's
+    dtype-sensitive equals). TIMESTAMP WITH TIME ZONE normalizes to
+    naive UTC, mirroring norm().
+
+    slice_spec=(col, n): SLICED ORACLE for results whose oracle holds
+    per-group state the single-node engine cannot spill (DuckDB's
+    ordered string_agg at 5M groups dies in malloc). The oracle digest
+    is computed per slice `WHERE col % n = k` and folded across slices
+    — sound because both count and sum(hash(row)) are order- and
+    partition-insensitive, and the slices partition the output exactly
+    (col must be a non-NULL integer output column). The win requires
+    col to be a group/partition key DuckDB can push below the stateful
+    operator (doc_id for the per-document aggregations); a slice on a
+    non-pushable column just recomputes the full pipeline n times.
+    The Spark side is a plain parquet scan — already streamed, never
+    sliced.
     """
     def digest(src_sql):
         cols = con.sql(f"DESCRIBE SELECT * FROM ({src_sql})").df()
@@ -147,14 +186,28 @@ def hash_compare(con, name, spark_src, oracle_sql):
     except Exception as e:
         return f"FAIL {name}: cannot hash spark result: {e}"
     try:
-        on, oh, ocols = digest(oracle_sql)
+        if slice_spec is None:
+            on, oh, ocols = digest(oracle_sql)
+        else:
+            col, nslices = slice_spec
+            on, oh, ocols = 0, 0, None
+            for k in range(nslices):
+                kn, kh, kcols = digest(
+                    f'SELECT * FROM ({oracle_sql}) WHERE "{col}" % '
+                    f"{nslices} = {k}")
+                on += kn
+                oh += kh or 0  # empty slice sums to NULL
+                ocols = kcols
+                print(f"  [slice {k + 1}/{nslices}] {name}: {kn} rows",
+                      file=sys.stderr, flush=True)
     except Exception as e:
         return f"FAIL {name}: oracle SQL error: {e}"
     if scols != ocols:
         return f"FAIL {name}: columns {list(scols)} vs {list(ocols)}"
     if sn != on:
         return f"FAIL {name}: rows {sn} vs {on}"
-    if sh != oh:
+    # sum over zero rows is NULL; the sliced fold seeds 0 — same value
+    if (sh or 0) != (oh or 0):
         return f"FAIL {name}: content hash mismatch ({sn} rows)"
     return f"OK   {name} ({sn} rows, hash)"
 
@@ -167,6 +220,13 @@ def main():
     hash_mode = "--hash" in args
     if hash_mode:
         args.remove("--hash")
+    # --slice=COL:N — sliced oracle digest (hash mode only), applied to
+    # every named query; see hash_compare's docstring.
+    slice_spec = None
+    for a in [a for a in args if a.startswith("--slice=")]:
+        args.remove(a)
+        col, n = a[len("--slice="):].rsplit(":", 1)
+        slice_spec = (col, int(n))
     sf_dir, out_dir = args[0], args[1]
     only = set(args[2:])
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
@@ -185,8 +245,10 @@ def main():
             if not only or n in only)
         fails = 0
         for n in names:
-            r = subprocess.run([sys.executable, os.path.abspath(__file__),
-                                "--hash", sf_dir, out_dir, n],
+            cmd = [sys.executable, os.path.abspath(__file__), "--hash"]
+            if slice_spec is not None:
+                cmd.append(f"--slice={slice_spec[0]}:{slice_spec[1]}")
+            r = subprocess.run(cmd + [sf_dir, out_dir, n],
                                capture_output=True, text=True)
             body = [ln for ln in r.stdout.splitlines()
                     if ln.startswith(("OK", "FAIL", "SKIP"))]
@@ -224,7 +286,8 @@ def main():
                     fail += 1
                 con.close()
                 continue
-            msg = hash_compare(con, name, f"'{d}/*.parquet'", oracles[name])
+            msg = hash_compare(con, name, f"'{d}/*.parquet'",
+                               oracles[name], slice_spec)
             con.close()
             print(msg)
             if msg.startswith("OK"):

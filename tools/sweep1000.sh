@@ -14,6 +14,12 @@ SF="$1"; ORDER="$2"; BATCH="${3:-8}"; LOG="${4:-/tmp/sweep1000.log}"
 OUT=/tmp/sweep1000_out
 VT="${SWEEP_VERIFY_TIMEOUT:-7200}"   # per-batch Spark budget (s)
 CT="${SWEEP_CHECK_TIMEOUT:-3600}"    # per-batch oracle budget (s)
+# Scaled-sweep fan-out/memory, set HERE so no caller can forget them
+# (r9: Verify's driver-contract coalesce(1) default turned a 150M-row
+# decode into a single-core grind before anyone noticed):
+export SPARK_GRAFT_OUT_PARTS="${SPARK_GRAFT_OUT_PARTS:-32}"
+export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-32g}"
+export GRAFT_DUCK_MEM="${GRAFT_DUCK_MEM:-56GB}"
 : > "$LOG"
 mapfile -t names < "$ORDER"
 i=0
