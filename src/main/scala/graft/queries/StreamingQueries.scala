@@ -563,8 +563,190 @@ object StreamingQueries {
     PipelineQueries.chainServe(s, dir, confBack)
   }
 
+  // ---------------------------------------------------------------
+  // File-source twins (round-9 verdict ask #6): the MemoryStream
+  // forms above replay THROUGH THE DRIVER by construction (the feed
+  // is collected and re-fed batch-by-batch — their documented 1000×
+  // bound), and they never restart the query. These twins are the
+  // production path: the feed is written DISTRIBUTED as ascending
+  // parquet drops, a checkpointed readStream consumes each drop via
+  // Trigger.AvailableNow (the query RESTARTS per drop, so state-store
+  // recovery from the checkpoint is part of what the hash pins), and
+  // emissions append to a parquet results dir. Nothing passes through
+  // the driver but two scalar aggregates — the same unbounded-scale
+  // shape as streaming_chain_equiv. The MemoryStream forms stay: they
+  // pin the long-lived continuous-query cadence (one process, no
+  // restart), which the restart-per-drop form deliberately does not.
+  // ---------------------------------------------------------------
+
+  /** Run one AvailableNow pass of `stream` with emissions appended to
+    * `outDir`. State-store fan-out at replay scale is 8 partitions
+    * (see balancesEquiv); GRAFT_STREAM_PARTS overrides for scaled
+    * sweeps, where 8 would idle 3/4 of the box.
+    */
+  private def runFileDrop(s: org.apache.spark.sql.SparkSession,
+      stream: org.apache.spark.sql.DataFrame, outDir: String,
+      ckpt: String, mode: String): Unit = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val parts = sys.env.getOrElse("GRAFT_STREAM_PARTS", "8")
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", parts)
+    val q =
+      try stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    q.awaitTermination()
+  }
+
+  /** mapGroupsWithState balances through the FILE path — same oracle
+    * as [[balancesEquiv]]. Each of the 4 serial-range drops is one
+    * AvailableNow restart (no maxFilesPerTrigger ⇒ one micro-batch
+    * per drop, which is what `n_updates` pins — a split batch fails
+    * the gate loudly), so the balance state survives 4 checkpoint
+    * recoveries on its way to the batch answer.
+    */
+  val balancesFile = Q(
+    "streaming_balances_file",
+    balancesEquiv.oracle.get) { (s, dir) =>
+    import s.implicits._
+    val base = graft.CacheScope.scratchTempDir("graft_bal_stream")
+    val feedDir = base.resolve("feed").toString
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    val e = t(s, dir, "events")
+      .select($"user_id", $"event_id", Q.deltaCents.as("d"))
+    val (mn, mx) = e.agg(min($"event_id"), max($"event_id"))
+      .as[(Long, Long)].head()
+    val feed = e.select(
+      concat(lit("U"), $"user_id").as("address"),
+      lit(31L).as("propertyId"), lit("Omni").as("protocol"),
+      $"event_id".as("txDbSerialNum"),
+      lit(0).as("addressTxIndex"), lit("recipient").as("addressRole"),
+      $"d".as("availableDelta"), lit(0L).as("reservedDelta"),
+      lit(0L).as("acceptedDelta"), lit(0L).as("frozenDelta"),
+      lit(0L).as("linkedTxDbSerialNum"))
+    (0L to 3L).foreach { b =>
+      feed.where(
+        expr(s"least(3, (txDbSerialNum - $mn) * 4 div ${mx - mn + 1})")
+          === b)
+        .write.mode("append").parquet(feedDir)
+      runFileDrop(s,
+        StreamingBalances.updates(
+          s.readStream.schema(feed.schema).parquet(feedDir)
+            .as[LedgerEntry]).toDF(),
+        outDir, ckpt, "update")
+    }
+    s.read.parquet(outDir)
+      .groupBy($"address")
+      .agg(
+        max_by(struct($"available", $"lastTxDbSerialNum"),
+          $"lastTxDbSerialNum").as("f"),
+        count(lit(1)).as("n_updates"))
+      .select($"address", $"f.available".as("available"),
+        $"f.lastTxDbSerialNum".as("last_serial"), $"n_updates")
+      .orderBy("address")
+  }
+
+  /** flatMapGroupsWithState sessionization through the FILE path —
+    * same oracle as [[sessionsEquiv]]. The two sentinel drops arrive
+    * as their own restarts: the first advances the checkpointed
+    * watermark past every open session's timeout, the second fires
+    * the timeouts — total emission across 6 recoveries.
+    */
+  val sessionsFile = Q(
+    "streaming_sessions_file",
+    sessionsEquiv.oracle.get) { (s, dir) =>
+    import s.implicits._
+    val base = graft.CacheScope.scratchTempDir("graft_sess_stream")
+    val feedDir = base.resolve("feed").toString
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    val e = t(s, dir, "events").select(
+      $"user_id".as("userId"), $"event_id".as("eventId"),
+      // ms-truncate, matching the oracle's `epoch_us(ts) // 1000 * 1000`
+      expr("timestamp_micros(unix_micros(ts) div 1000 * 1000)").as("ts"))
+    val (mn, mx) = e
+      .agg(min(expr("unix_micros(ts)")), max(expr("unix_micros(ts)")))
+      .as[(Long, Long)].head()
+    def drop(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.write.mode("append").parquet(feedDir)
+      runFileDrop(s,
+        StreamingSessions.sessions(
+          s.readStream.schema(e.schema).parquet(feedDir)
+            .as[StreamingSessions.Click]).toDF(),
+        outDir, ckpt, "append")
+    }
+    (0L to 3L).foreach { b =>
+      drop(e.where(
+        expr(s"least(3, (unix_micros(ts) - $mn) * 4 div ${mx - mn + 1})")
+          === b))
+    }
+    // far-future sentinels: watermark advance, then timeout emission
+    Seq(86400000000L, 172800000000L).foreach { off =>
+      drop(Seq((-1L, 0L)).toDF("userId", "eventId")
+        .select($"userId", $"eventId",
+          expr(s"timestamp_micros(${mx + off})").as("ts")))
+    }
+    s.read.parquet(outDir).where($"userId" >= 0)
+      .select($"userId".as("user_id"), $"startUs".as("start_us"),
+        $"endUs".as("end_us"), $"nEvents".as("n_events"),
+        $"durationSecs".as("duration_secs"))
+      .orderBy("user_id", "start_us")
+  }
+
+  /** Watermarked tumbling-window stats through the FILE path — same
+    * oracle as [[txStatsEquiv]]; `n_updates` again pins
+    * one-micro-batch-per-drop across the 4 restarts.
+    */
+  val txStatsFile = Q(
+    "streaming_txstats_file",
+    txStatsEquiv.oracle.get) { (s, dir) =>
+    import s.implicits._
+    val base = graft.CacheScope.scratchTempDir("graft_txs_stream")
+    val feedDir = base.resolve("feed").toString
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    val e = t(s, dir, "events").select(
+      expr("timestamp_micros(unix_micros(ts) div 1000 * 1000)").as("ts"),
+      ($"event_type" =!= "error").as("valid"),
+      round($"value" * 100).cast(LongType).as("amountUnits"))
+    val (mn, mx) = e
+      .agg(min(expr("unix_micros(ts)")), max(expr("unix_micros(ts)")))
+      .as[(Long, Long)].head()
+    (0L to 3L).foreach { b =>
+      e.where(
+        expr(s"least(3, (unix_micros(ts) - $mn) * 4 div ${mx - mn + 1})")
+          === b)
+        .write.mode("append").parquet(feedDir)
+      runFileDrop(s,
+        graft.streaming.StreamingTxStats.windowed(
+          s.readStream.schema(e.schema).parquet(feedDir)),
+        outDir, ckpt, "update")
+    }
+    s.read.parquet(outDir)
+      .groupBy($"windowStart")
+      .agg(max_by(struct($"txCount", $"validCount", $"validUnits"),
+        $"txCount").as("f"),
+        count(lit(1)).as("n_updates"))
+      .select(unix_micros($"windowStart").as("win_us"),
+        $"f.txCount".as("tx_count"), $"f.validCount".as("valid_count"),
+        $"f.validUnits".as("valid_units"), $"n_updates")
+      .orderBy("win_us")
+  }
+
   val all: Seq[Q] = Seq(balancesEquiv, sessionsEquiv, txStatsEquiv,
-    dedupEquiv, kmvEquiv, chainEquiv, reorgEquiv)
+    dedupEquiv, kmvEquiv, chainEquiv, reorgEquiv,
+    balancesFile, sessionsFile, txStatsFile)
 }
 
 /** Replay-row shapes for the §2.9 equivalence gates — top-level so
