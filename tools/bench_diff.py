@@ -8,11 +8,27 @@ mirrors the round-8 A/B protocol: a regression is BOTH >1.3x AND
 >0.3 s absolute — below that is this box's documented cold-JIT /
 ambient variance, not a plan change.
 
-Usage: tools/bench_diff.py BASELINE.json NEW.json [ratio] [abs_s]
+Usage: tools/bench_diff.py [BASELINE.json NEW.json] [ratio] [abs_s]
+With no file args, diffs the CANONICAL per-round artifacts (r9 ask
+#8: one command, one artifact chain): baseline = the newest
+/root/repo/BENCH_LOCAL_r*.json (each round's end-of-round quiet-box
+fullEval medians+mins record), new = /root/repo/BENCH_DETAIL.json
+(the most recent fullEval Bench run — count/ordered experiments never
+write it).
 Exit 1 iff any regression is flagged.
 """
+import glob
 import json
+import re
 import sys
+
+
+def _is_num(a):
+    try:
+        float(a)
+        return True
+    except ValueError:
+        return False
 
 
 def load(path):
@@ -23,7 +39,23 @@ def load(path):
     return d
 
 
+def canonical_baseline():
+    rounds = glob.glob("/root/repo/BENCH_LOCAL_r*.json")
+    if not rounds:
+        raise SystemExit("no BENCH_LOCAL_r*.json baseline in /root/repo")
+    return max(rounds,
+               key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+
+
 def main():
+    files = [a for a in sys.argv[1:] if not _is_num(a)]
+    nums = [a for a in sys.argv[1:] if _is_num(a)]
+    if files:
+        bp, np_ = files[0], files[1]
+    else:
+        bp, np_ = canonical_baseline(), "/root/repo/BENCH_DETAIL.json"
+    print(f"baseline: {bp}\nnew:      {np_}")
+    sys.argv = [sys.argv[0], bp, np_] + nums
     bd = load(sys.argv[1])
     nd = load(sys.argv[2])
     # min-vs-min only when BOTH sides carry queries_min: a per-file
