@@ -19,6 +19,39 @@ class CacheHygieneSpec extends SparkTestBase {
     "dex_lifecycle_fold", "ml_kmeans_assign", "ledger_simple_send",
     "dedup_bloom_contain")
 
+  test("mark/releaseSince frees only the marked phase's entries, in " +
+      "registration order, leaving outer registrations scoped") {
+    Q.releaseScoped() // clean slate
+    val freed = scala.collection.mutable.ArrayBuffer.empty[String]
+    CacheScope.defer(() => freed += "outer")
+    val m = CacheScope.mark()
+    CacheScope.defer(() => freed += "phase1")
+    CacheScope.defer(() => freed += "phase2")
+    CacheScope.releaseSince(m)
+    assert(freed.toSeq == Seq("phase1", "phase2"),
+      s"partial release freed: $freed")
+    // a second phase after the partial release reuses the same scope
+    val m2 = CacheScope.mark()
+    CacheScope.defer(() => freed += "phase3")
+    CacheScope.releaseSince(m2)
+    assert(freed.toSeq == Seq("phase1", "phase2", "phase3"))
+    // the ordinary end-of-query release still owns the outer entry
+    Q.releaseScoped()
+    assert(freed.toSeq == Seq("phase1", "phase2", "phase3", "outer"))
+  }
+
+  test("the sequentialized m4 forks leave zero persistent RDDs after " +
+      "the harness release (the mid-query partial release composes " +
+      "with end-of-query hygiene)") {
+    assume(new java.io.File(dir).isDirectory)
+    SparkEntry.queries("m4_reorg_flagship")(spark, dir).count()
+    Q.releaseScoped()
+    val left = spark.sparkContext.getPersistentRDDs
+    assert(left.isEmpty,
+      s"m4_reorg_flagship left ${left.size} cached RDDs: " +
+        left.values.map(_.name).mkString(", "))
+  }
+
   test("cache-heavy queries leave zero persistent RDDs after release") {
     assume(new java.io.File(dir).isDirectory)
     val qmap = SparkEntry.queries
