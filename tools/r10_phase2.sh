@@ -84,9 +84,29 @@ phaseC() {
   fi
 }
 
-for ph in "${@:-A B C}"; do
+phaseD() {
+  # EXPERIMENT: e2e_ingest_full sliced on propertyId. Unlike doc_id
+  # slicing (pushes below one GROUP BY), pid%8 prunes whole UNION
+  # legs of the flows CTE per slice (most legs carry literal pids),
+  # so the union-aggregate peak drops even though the window CTEs
+  # re-materialize per slice. If the oracle still dies, the recorded
+  # reason is: the spill driver is the full-stream window CTEs, which
+  # every slice recomputes — input-shaped, not output-shaped.
+  log "=== D: e2e_ingest_full sliced-oracle experiment ==="
+  run_verify e2e_ingest_full 7200
+  if [ -d "$OUT/e2e_ingest_full" ]; then
+    engine_digest e2e_ingest_full >> "$LOG" 2>>"$LOG.err"
+    timeout 10800 python3 tools/check.py --hash --slice=propertyId:8 \
+      "$SF" "$OUT" e2e_ingest_full 2>>"$LOG.err" \
+      | grep -E '^(OK|FAIL)' >> "$LOG"
+  else
+    log "e2e_ingest_full: no output dir — engine did NOT complete"
+  fi
+}
+
+for ph in "${@:-A B C D}"; do
   case "$ph" in
-    A) phaseA ;; B) phaseB ;; C) phaseC ;;
+    A) phaseA ;; B) phaseB ;; C) phaseC ;; D) phaseD ;;
   esac
 done
 log "=== phase2 done ==="
