@@ -1,0 +1,52 @@
+#!/bin/bash
+# Same-conditions A/B of the engine's shuffle/spill codec at sf0.1
+# (r9 ask #4: confirm zstd — now the GraftConf default — is
+# neutral-or-better at bench scale before trusting it fleet-wide;
+# its 1000x fit-vs-die advantage is already recorded in PERF r9).
+# Interleaved Z/L/Z/L runs, one fresh JVM each, full registry,
+# single run per JVM: pairing adjacent runs cancels box drift, and
+# comparing the two MINIMA per codec cancels cold-JIT noise.
+# Usage: tools/ab_zstd.sh [ROUNDS]   (default 2 → 4 JVMs)
+set -u
+ROUNDS="${1:-2}"
+CLS="${GRAFT_CLASSES:-target/scala-2.13/classes}"
+for i in $(seq 1 "$ROUNDS"); do
+  for codec in zstd lz4; do
+    GRAFT_CLASSES=$CLS SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+      SPARK_GRAFT_CPUS=32 SPARK_GRAFT_RUNS=1 \
+      GRAFT_SPARK_OPTS="-Dspark.io.compression.codec=$codec" \
+      tools/run_graft.sh graft.Bench 2>/dev/null \
+      | grep -o '{"metric":"total_detail".*' | head -1 \
+      > "/tmp/ab_zstd_${codec}_$i.json"
+    echo "$codec run $i: $(python3 -c "import json;print(json.load(open('/tmp/ab_zstd_${codec}_$i.json'))['value'])")"
+  done
+done
+python3 - "$ROUNDS" <<'EOF'
+import json
+import sys
+rounds = int(sys.argv[1])
+
+
+def best(codec):
+    runs = [json.load(open(f"/tmp/ab_zstd_{codec}_{i}.json"))
+            for i in range(1, rounds + 1)]
+    per_q = {q: min(r["queries"][q] for r in runs)
+             for q in runs[0]["queries"]}
+    return per_q, min(r["value"] for r in runs)
+
+
+z, zt = best("zstd")
+l, lt = best("lz4")
+tot_z, tot_l = sum(z.values()), sum(l.values())
+print(f"\nper-codec min-fold totals: zstd {tot_z:.1f}s vs lz4 {tot_l:.1f}s "
+      f"({(tot_z - tot_l) / tot_l:+.1%}); single-run totals "
+      f"zstd {zt:.1f} lz4 {lt:.1f}")
+moved = sorted(((q, l[q], z[q]) for q in z
+                if abs(z[q] - l[q]) > 0.3 and
+                max(z[q], l[q]) > 1.3 * min(z[q], l[q])),
+               key=lambda t: t[1] - t[2])
+for q, lv, zv in moved:
+    print(f"  {q}: lz4 {lv:.2f}s -> zstd {zv:.2f}s")
+if not moved:
+    print("no per-query move over the A/B bar (>1.3x and >0.3s)")
+EOF
