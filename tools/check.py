@@ -118,6 +118,13 @@ def connect(sf_dir):
     # JVM is gone).
     con.execute(
         f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '48GB')}'")
+    # Slice-digest children run under a reduced thread budget (set via
+    # GRAFT_DUCK_THREADS by the parent): one 1/16th slice needs neither
+    # 32 threads nor the parent's memory cap, and the proven-good probe
+    # shape (fresh process, 8 threads, small cap) is what this recreates.
+    th = os.environ.get("GRAFT_DUCK_THREADS")
+    if th:
+        con.execute(f"SET threads={int(th)}")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):  # Spark-written (ScaleGen) directory form
@@ -127,7 +134,8 @@ def connect(sf_dir):
     return con
 
 
-def hash_compare(con, name, spark_src, oracle_sql, slice_spec=None):
+def hash_compare(con, name, spark_src, oracle_sql, slice_spec=None,
+                 sf_dir=None, out_dir=None):
     """Memory-bounded compare for 1000x-scale sweeps: both sides are
     reduced INSIDE DuckDB to (row count, exact HUGEINT sum of per-row
     hashes over the name-sorted column struct) — no pandas
@@ -150,56 +158,24 @@ def hash_compare(con, name, spark_src, oracle_sql, slice_spec=None):
     non-pushable column just recomputes the full pipeline n times.
     The Spark side is a plain parquet scan — already streamed, never
     sliced.
+
+    Each oracle slice is digested in a FRESH SUBPROCESS (--digest-part):
+    DuckDB allocator damage accumulates per PROCESS, and the observed
+    failure shape was exactly "a standalone slice passes in 32 s under
+    an 8 GB cap; the same slice inside the long-lived checker process
+    dies in malloc". The fold is associative, so summing child (n, h)
+    pairs is identical to the in-process loop.
     """
-    def digest(src_sql):
-        cols = con.sql(f"DESCRIBE SELECT * FROM ({src_sql})").df()
-        parts, sig = [], []
-        for _, r in sorted(cols.iterrows(), key=lambda t: t[1]["column_name"]):
-            c, ty = r["column_name"], str(r["column_type"])
-            e = f'"{c}"'
-            if "WITH TIME ZONE" in ty:
-                # tz-aware vs naive is a parquet-metadata artifact
-                # (mirrors norm()); compare instants
-                e = f"CAST({e} AT TIME ZONE 'UTC' AS TIMESTAMP)"
-                ty = "TIMESTAMP"
-            elif ty in ("FLOAT", "DOUBLE"):
-                # DuckDB hash() collapses -0.0 onto 0.0 — the exact
-                # defect class the r8 keeper-sum lesson is about. The
-                # VARCHAR rendering is bit-strict for the cases that
-                # matter ('-0.0' != '0.0', 'nan' prints), and both
-                # sides render in the SAME engine so the shortest-
-                # roundtrip form is identical iff the bits are.
-                e = f"CAST({e} AS VARCHAR)"
-            parts.append(e)
-            sig.append((c, ty))
-        row = ", ".join(parts)
-        # sum, not bit_xor: xor cancels rows with even multiplicity, so
-        # equal-count results whose differing rows pair up would pass.
-        # sum(UBIGINT) is exact HUGEINT in DuckDB — same streamed cost,
-        # no blind spot.
-        q = (f"SELECT count(*) AS n, sum(hash(ROW({row}))) AS h "
-             f"FROM ({src_sql})")
-        n, h = con.sql(q).fetchone()
-        return int(n), h, tuple(sig)
     try:
-        sn, sh, scols = digest(f"SELECT * FROM {spark_src}")
+        sn, sh, scols = digest(con, f"SELECT * FROM {spark_src}")
     except Exception as e:
         return f"FAIL {name}: cannot hash spark result: {e}"
     try:
         if slice_spec is None:
-            on, oh, ocols = digest(oracle_sql)
+            on, oh, ocols = digest(con, oracle_sql)
         else:
-            col, nslices = slice_spec
-            on, oh, ocols = 0, 0, None
-            for k in range(nslices):
-                kn, kh, kcols = digest(
-                    f'SELECT * FROM ({oracle_sql}) WHERE "{col}" % '
-                    f"{nslices} = {k}")
-                on += kn
-                oh += kh or 0  # empty slice sums to NULL
-                ocols = kcols
-                print(f"  [slice {k + 1}/{nslices}] {name}: {kn} rows",
-                      file=sys.stderr, flush=True)
+            on, oh, ocols = sliced_oracle_digest(
+                name, sf_dir, out_dir, slice_spec)
     except Exception as e:
         return f"FAIL {name}: oracle SQL error: {e}"
     if scols != ocols:
@@ -210,6 +186,88 @@ def hash_compare(con, name, spark_src, oracle_sql, slice_spec=None):
     if (sh or 0) != (oh or 0):
         return f"FAIL {name}: content hash mismatch ({sn} rows)"
     return f"OK   {name} ({sn} rows, hash)"
+
+
+def digest(con, src_sql):
+    """(count, exact HUGEINT sum(hash(row)), column signature) — the
+    order- and partition-insensitive fold both engines share."""
+    cols = con.sql(f"DESCRIBE SELECT * FROM ({src_sql})").df()
+    parts, sig = [], []
+    for _, r in sorted(cols.iterrows(), key=lambda t: t[1]["column_name"]):
+        c, ty = r["column_name"], str(r["column_type"])
+        e = f'"{c}"'
+        if "WITH TIME ZONE" in ty:
+            # tz-aware vs naive is a parquet-metadata artifact
+            # (mirrors norm()); compare instants
+            e = f"CAST({e} AT TIME ZONE 'UTC' AS TIMESTAMP)"
+            ty = "TIMESTAMP"
+        elif ty in ("FLOAT", "DOUBLE"):
+            # DuckDB hash() collapses -0.0 onto 0.0 — the exact
+            # defect class the r8 keeper-sum lesson is about. The
+            # VARCHAR rendering is bit-strict for the cases that
+            # matter ('-0.0' != '0.0', 'nan' prints), and both
+            # sides render in the SAME engine so the shortest-
+            # roundtrip form is identical iff the bits are.
+            e = f"CAST({e} AS VARCHAR)"
+        parts.append(e)
+        sig.append((c, ty))
+    row = ", ".join(parts)
+    # sum, not bit_xor: xor cancels rows with even multiplicity, so
+    # equal-count results whose differing rows pair up would pass.
+    # sum(UBIGINT) is exact HUGEINT in DuckDB — same streamed cost,
+    # no blind spot.
+    q = (f"SELECT count(*) AS n, sum(hash(ROW({row}))) AS h "
+         f"FROM ({src_sql})")
+    n, h = con.sql(q).fetchone()
+    return int(n), h, tuple(sig)
+
+
+def sliced_oracle_digest(name, sf_dir, out_dir, slice_spec):
+    """Fold the oracle digest over `WHERE col % n = k` slices, one
+    FRESH child process per slice (see hash_compare's docstring for
+    why in-process looping is unsound on this allocator). Children run
+    under a reduced budget — GRAFT_DUCK_SLICE_MEM (default 24GB) and
+    GRAFT_DUCK_SLICE_THREADS (default 8) — the probe-proven shape."""
+    import subprocess
+    col, nslices = slice_spec
+    env = dict(
+        os.environ,
+        GRAFT_DUCK_MEM=os.environ.get("GRAFT_DUCK_SLICE_MEM", "24GB"),
+        GRAFT_DUCK_THREADS=os.environ.get("GRAFT_DUCK_SLICE_THREADS", "8"))
+    on, oh, ocols = 0, 0, None
+    for k in range(nslices):
+        cmd = [sys.executable, os.path.abspath(__file__), "--hash",
+               f"--slice={col}:{nslices}", f"--digest-part={k}",
+               sf_dir, out_dir, name]
+        r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        lines = [ln for ln in r.stdout.splitlines()
+                 if ln.startswith("DIGEST ")]
+        if r.returncode != 0 or not lines:
+            tail = (r.stderr or "").strip().splitlines()[-1:]
+            raise RuntimeError(
+                f"slice {k} child rc={r.returncode}: {tail}")
+        obj = json.loads(lines[-1][len("DIGEST "):])
+        on += obj["n"]
+        oh += int(obj["h"]) if obj["h"] is not None else 0
+        ocols = tuple((c, t) for c, t in obj["sig"])
+        print(f"  [slice {k + 1}/{nslices}] {name}: {obj['n']} rows",
+              file=sys.stderr, flush=True)
+    return on, oh, ocols
+
+
+def digest_part(sf_dir, out_dir, name, slice_spec, part):
+    """Child mode (--digest-part=K): digest ONE oracle slice in this
+    fresh process and emit a machine-readable line for the parent."""
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle_sql = json.load(f)[name]
+    col, nslices = slice_spec
+    con = connect(sf_dir)
+    n, h, sig = digest(
+        con,
+        f'SELECT * FROM ({oracle_sql}) WHERE "{col}" % {nslices} = {part}')
+    print("DIGEST " + json.dumps(
+        {"n": n, "h": str(h) if h is not None else None,
+         "sig": [list(p) for p in sig]}), flush=True)
 
 
 def main():
@@ -227,8 +285,15 @@ def main():
         args.remove(a)
         col, n = a[len("--slice="):].rsplit(":", 1)
         slice_spec = (col, int(n))
+    part = None
+    for a in [a for a in args if a.startswith("--digest-part=")]:
+        args.remove(a)
+        part = int(a[len("--digest-part="):])
     sf_dir, out_dir = args[0], args[1]
     only = set(args[2:])
+    if part is not None:
+        digest_part(sf_dir, out_dir, sorted(only)[0], slice_spec, part)
+        return
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     if hash_mode and len(only) != 1:
@@ -287,7 +352,8 @@ def main():
                 con.close()
                 continue
             msg = hash_compare(con, name, f"'{d}/*.parquet'",
-                               oracles[name], slice_spec)
+                               oracles[name], slice_spec,
+                               sf_dir=sf_dir, out_dir=out_dir)
             con.close()
             print(msg)
             if msg.startswith("OK"):
