@@ -96,7 +96,11 @@ phaseD() {
   run_verify e2e_ingest_full 7200
   if [ -d "$OUT/e2e_ingest_full" ]; then
     engine_digest e2e_ingest_full >> "$LOG" 2>>"$LOG.err"
-    timeout 10800 python3 tools/check.py --hash --slice=propertyId:8 \
+    # each slice child recomputes the window CTEs over the full stream:
+    # give it most of the idle box (children run one at a time)
+    timeout 10800 env GRAFT_DUCK_SLICE_MEM=64GB \
+      GRAFT_DUCK_SLICE_THREADS=24 \
+      python3 tools/check.py --hash --slice=propertyId:8 \
       "$SF" "$OUT" e2e_ingest_full 2>>"$LOG.err" \
       | grep -E '^(OK|FAIL)' >> "$LOG"
   else
