@@ -234,12 +234,23 @@ def sliced_oracle_digest(name, sf_dir, out_dir, slice_spec):
         os.environ,
         GRAFT_DUCK_MEM=os.environ.get("GRAFT_DUCK_SLICE_MEM", "24GB"),
         GRAFT_DUCK_THREADS=os.environ.get("GRAFT_DUCK_SLICE_THREADS", "8"))
+    # Slice sizes are data-dependent (doc_id group skew): one slice of
+    # the same query can need 3x another's memory. Retry a failed slice
+    # once at the big cap before declaring the oracle bound.
+    retry_env = dict(env, GRAFT_DUCK_MEM=os.environ.get(
+        "GRAFT_DUCK_SLICE_MEM_RETRY", "64GB"))
     on, oh, ocols = 0, 0, None
     for k in range(nslices):
         cmd = [sys.executable, os.path.abspath(__file__), "--hash",
                f"--slice={col}:{nslices}", f"--digest-part={k}",
                sf_dir, out_dir, name]
         r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        if r.returncode != 0:
+            print(f"  [slice {k + 1}/{nslices}] {name}: retrying at "
+                  f"{retry_env['GRAFT_DUCK_MEM']}", file=sys.stderr,
+                  flush=True)
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               env=retry_env)
         lines = [ln for ln in r.stdout.splitlines()
                  if ln.startswith("DIGEST ")]
         if r.returncode != 0 or not lines:
