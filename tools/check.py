@@ -174,6 +174,13 @@ def hash_compare(con, name, spark_src, oracle_sql, slice_spec=None,
         if slice_spec is None:
             on, oh, ocols = digest(con, oracle_sql)
         else:
+            # Release the spark-digest buffers BEFORE the slice children
+            # run: DuckDB holds them resident for the life of the
+            # process (it does not return freed blocks to the OS), and
+            # a parent sitting on a multi-GB pool shrinks what the box
+            # can give each child. close() is idempotent, so the
+            # caller's own close() stays safe.
+            con.close()
             on, oh, ocols = sliced_oracle_digest(
                 name, sf_dir, out_dir, slice_spec)
     except Exception as e:
