@@ -3,20 +3,26 @@ import org.apache.spark.sql.SparkSession
 
 /** Engine-default Spark confs shared by every graft main.
   *
-  * zstd for shuffle/spill blocks is UNCONDITIONAL engine policy, not a
-  * tuning flag: the round-9 1000x sweep showed lz4 is the difference
-  * between spill-dead and complete for text-heavy shuffles
-  * (dedup_minhash_lsh's shingle shuffle exceeds 50 GB in lz4 and fits
-  * in zstd — PERF.md round 9, "zstd tail phase"). On a 100 TB cluster
-  * the same ratio gap decides whether a wide text shuffle fits executor
-  * scratch disks; zstd's extra CPU is paid inside otherwise I/O-bound
-  * stages. `spark.io.compression.codec` governs shuffle outputs, spill
-  * files and broadcast blocks alike (shuffle/spill compression itself
-  * is on by default).
+  * Shuffle/spill/broadcast codec (`spark.io.compression.codec`) is
+  * selectable via GRAFT_SHUFFLE_CODEC; the default is lz4. The round-10
+  * interleaved A/B at sf0.1 (tools/ab_zstd.sh, PERF.md round 10)
+  * measured zstd as a UNIFORM +9.8% on min-fold registry totals — a
+  * per-shuffle CPU tax with no single query over the move bar — so
+  * zstd is not "neutral-or-better" and does not earn unconditional
+  * default status. It earns the big-shuffle role instead: the round-9
+  * 1000x sweep showed the lz4→zstd ratio gap is the difference between
+  * spill-dead and complete for text-heavy shuffles (dedup_minhash_lsh's
+  * shingle shuffle exceeds 50 GB in lz4 and fits in zstd — PERF.md
+  * round 9, "zstd tail phase"), and the scaled tooling
+  * (tools/sweep1000.sh) therefore sets GRAFT_SHUFFLE_CODEC=zstd. On a
+  * real cluster the knob is the same conf; pick zstd when a wide text
+  * shuffle must fit executor scratch or the network is the bottleneck,
+  * lz4 when shuffles fit and latency rules.
   */
 object GraftConf {
   def apply(b: SparkSession.Builder): SparkSession.Builder =
-    b.config("spark.io.compression.codec", "zstd")
+    b.config("spark.io.compression.codec",
+        sys.env.getOrElse("GRAFT_SHUFFLE_CODEC", "lz4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 }

@@ -20,6 +20,9 @@ CT="${SWEEP_CHECK_TIMEOUT:-3600}"    # per-batch oracle budget (s)
 export SPARK_GRAFT_OUT_PARTS="${SPARK_GRAFT_OUT_PARTS:-32}"
 export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-32g}"
 export GRAFT_DUCK_MEM="${GRAFT_DUCK_MEM:-56GB}"
+# zstd at 1000x is fit-vs-die for the text-heavy shuffles (engine
+# default is lz4 per the sf0.1 A/B — PERF.md round 10):
+export GRAFT_SHUFFLE_CODEC="${GRAFT_SHUFFLE_CODEC:-zstd}"
 : > "$LOG"
 mapfile -t names < "$ORDER"
 i=0
