@@ -113,4 +113,43 @@ class RandomChainSpec extends SparkTestBase {
       assert(netAccepted == openHolds, s"seed=$seed")
     }
   }
+
+  // Soak mode for idle-box bug hunts (mirrors SinkLifecycleRandomSpec):
+  // GRAFT_CHAIN_SOAK=N runs N extra seeds through BOTH whole-chain
+  // invariants — value conservation and truncate-equals-fresh-prefix —
+  // the two that quantify over arbitrary tx interleavings, at a
+  // RANDOM fork height instead of the fixed test's pinned one.
+  // Canceled when unset; failures carry the seed for a one-line
+  // deterministic repro.
+  test("soak: extra seeded chains (GRAFT_CHAIN_SOAK)") {
+    val n = sys.env.get("GRAFT_CHAIN_SOAK").map(_.toInt).getOrElse(0)
+    assume(n > 0, "set GRAFT_CHAIN_SOAK=N to run")
+    (1 to n).foreach { i =>
+      val seed = 500009L + i * 104729L
+      val chain = randomChain(seed, 120)
+      val d = OmniPipeline.derive(spark.createDataset(chain),
+        tipBlock = 1000)
+      val b = d.balances.where($"propertyId" === 31L).collect()
+      val total = b.map(x => x.available + x.reserved + x.frozen).sum
+      assert(total == 100000000000000L, s"soak seed=$seed")
+      assert(b.map(_.accepted).sum >= 0L, s"soak seed=$seed accepted<0")
+      def bal(txs: Seq[RawTx], tip: Long) =
+        OmniPipeline.derive(spark.createDataset(txs), tip)
+          .balances.collect()
+          .map(x => (x.address, x.propertyId) ->
+            ((x.available, x.reserved, x.accepted, x.frozen)))
+          .toMap
+      // random fork height: prefix chains must conserve value too, and
+      // two independent derivations of the same prefix must be
+      // bit-identical (nondeterminism in the serial-stamp/fold paths
+      // is what a reorg re-derivation would amplify)
+      val fork = 3L + (seed % 20L).abs
+      val prefix = chain.filter(_.block <= fork)
+      val once = bal(prefix, fork)
+      assert(once == bal(prefix, fork), s"soak seed=$seed fork=$fork")
+      assert(once.collect { case ((_, 31L), v) => v._1 + v._2 + v._4 }.sum
+        == 100000000000000L, s"soak seed=$seed fork=$fork conservation")
+      if (i % 50 == 0) info(s"soak: $i/$n chains green")
+    }
+  }
 }

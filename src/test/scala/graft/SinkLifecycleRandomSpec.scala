@@ -129,4 +129,17 @@ class SinkLifecycleRandomSpec extends SparkTestBase {
     runLifecycle(seed = 42L, steps = 10)
     runLifecycle(seed = 1789L, steps = 10)
   }
+
+  // Soak mode for idle-box bug hunts: GRAFT_SINK_SOAK=N runs N extra
+  // seeded lifecycles (canceled, not vacuously green, when unset).
+  // Any failure message carries its seed, so a soak find replays as a
+  // one-line deterministic repro in the fixed test above.
+  test("soak: extra seeded lifecycles (GRAFT_SINK_SOAK)") {
+    val n = sys.env.get("GRAFT_SINK_SOAK").map(_.toInt).getOrElse(0)
+    assume(n > 0, "set GRAFT_SINK_SOAK=N to run")
+    (1 to n).foreach { i =>
+      runLifecycle(seed = 100003L + i * 7919L, steps = 12)
+      if (i % 25 == 0) info(s"soak: $i/$n lifecycles green")
+    }
+  }
 }
