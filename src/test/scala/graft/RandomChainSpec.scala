@@ -124,8 +124,10 @@ class RandomChainSpec extends SparkTestBase {
   test("soak: extra seeded chains (GRAFT_CHAIN_SOAK)") {
     val n = sys.env.get("GRAFT_CHAIN_SOAK").map(_.toInt).getOrElse(0)
     assume(n > 0, "set GRAFT_CHAIN_SOAK=N to run")
+    // GRAFT_SOAK_BASE: fresh seed range per soak run (see sink soak)
+    val base = sys.env.get("GRAFT_SOAK_BASE").map(_.toLong).getOrElse(500009L)
     (1 to n).foreach { i =>
-      val seed = 500009L + i * 104729L
+      val seed = base + i * 104729L
       val chain = randomChain(seed, 120)
       val d = OmniPipeline.derive(spark.createDataset(chain),
         tipBlock = 1000)

@@ -137,9 +137,12 @@ class SinkLifecycleRandomSpec extends SparkTestBase {
   test("soak: extra seeded lifecycles (GRAFT_SINK_SOAK)") {
     val n = sys.env.get("GRAFT_SINK_SOAK").map(_.toInt).getOrElse(0)
     assume(n > 0, "set GRAFT_SINK_SOAK=N to run")
+    // GRAFT_SOAK_BASE picks the seed range, so successive soak runs
+    // explore FRESH seeds instead of re-proving the default range
+    val base = sys.env.get("GRAFT_SOAK_BASE").map(_.toLong).getOrElse(100003L)
     (1 to n).foreach { i =>
-      runLifecycle(seed = 100003L + i * 7919L, steps = 12)
-      if (i % 25 == 0) info(s"soak: $i/$n lifecycles green")
+      runLifecycle(seed = base + i * 7919L, steps = 12)
+      if (i % 25 == 0) info(s"soak: $i/$n lifecycles green (base=$base)")
     }
   }
 }
