@@ -151,11 +151,14 @@ object Bench {
       s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","action":"$action","queries":${mapJson(results)},"queries_min":${mapJson(mins)},"total_min":${fmt(totalMin)},"sf":"$sfDir"}"""
     // Full per-query map: one stdout line (may be cut from the tail) and
     // a repo-local file the judge can read. The repo artifact is written
-    // ONLY for the honest fullEval action — a count/ordered measurement
-    // experiment must not overwrite it with indistinguishable numbers
-    // (r9 ADVICE); the "action" field stamps every emitted line anyway.
+    // ONLY for the honest fullEval action (r9 ADVICE — a count/ordered
+    // experiment must not overwrite it) AND only for the FULL registry:
+    // an SPARK_GRAFT_ONLY-filtered A/B run is equally capable of
+    // replacing the canonical 145-query record with a 7-query subset
+    // (it did, round 10 — caught by an end-of-round artifact diff).
+    // The "action" field stamps every emitted line regardless.
     println(detail)
-    if (action == "fulleval") try {
+    if (action == "fulleval" && only.isEmpty) try {
       val repo = new java.io.File("/root/repo")
       if (repo.isDirectory) {
         val w = new java.io.PrintWriter(new java.io.File(repo, "BENCH_DETAIL.json"))
