@@ -147,8 +147,14 @@ object Bench {
     val nFailed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMin = mins.map(_._2).filter(_ >= 0).sum
+    // Stamp the EFFECTIVE shuffle codec into the artifact: round 10's
+    // codec A/B was invalidated by a dead knob (-Dspark.io.compression
+    // .codec is overridden by GraftConf's builder .config, so both legs
+    // silently ran the same codec). Reading the value back from the
+    // live session makes any future A/B self-verifying.
+    val codec = spark.conf.get("spark.io.compression.codec", "?")
     val detail =
-      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","action":"$action","queries":${mapJson(results)},"queries_min":${mapJson(mins)},"total_min":${fmt(totalMin)},"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","action":"$action","codec":"$codec","queries":${mapJson(results)},"queries_min":${mapJson(mins)},"total_min":${fmt(totalMin)},"sf":"$sfDir"}"""
     // Full per-query map: one stdout line (may be cut from the tail) and
     // a repo-local file the judge can read. The repo artifact is written
     // ONLY for the honest fullEval action (r9 ADVICE — a count/ordered
@@ -156,9 +162,12 @@ object Bench {
     // an SPARK_GRAFT_ONLY-filtered A/B run is equally capable of
     // replacing the canonical 145-query record with a 7-query subset
     // (it did, round 10 — caught by an end-of-round artifact diff).
+    // GRAFT_BENCH_NO_ARTIFACT=1 opts a full-registry EXPERIMENT run
+    // (e.g. one codec-A/B leg) out of the artifact for the same reason.
     // The "action" field stamps every emitted line regardless.
     println(detail)
-    if (action == "fulleval" && only.isEmpty) try {
+    if (action == "fulleval" && only.isEmpty
+        && !sys.env.contains("GRAFT_BENCH_NO_ARTIFACT")) try {
       val repo = new java.io.File("/root/repo")
       if (repo.isDirectory) {
         val w = new java.io.PrintWriter(new java.io.File(repo, "BENCH_DETAIL.json"))

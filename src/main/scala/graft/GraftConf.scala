@@ -4,10 +4,12 @@ import org.apache.spark.sql.SparkSession
 /** Engine-default Spark confs shared by every graft main.
   *
   * Shuffle/spill/broadcast codec (`spark.io.compression.codec`) is
-  * selectable via GRAFT_SHUFFLE_CODEC; the default is lz4. The round-10
-  * interleaved A/B at sf0.1 (tools/ab_zstd.sh, PERF.md round 10)
-  * measured zstd as a UNIFORM +9.8% on min-fold registry totals — a
-  * per-shuffle CPU tax with no single query over the move bar — so
+  * selectable via GRAFT_SHUFFLE_CODEC; the default is lz4. The round-11
+  * interleaved A/B at sf0.1 (tools/ab_zstd.sh, PERF.md round 11 — the
+  * round-10 A/B's knob was dead, so this is the first VALID
+  * measurement, each leg's codec read back from the live session)
+  * measured zstd as +5.9% on min-fold registry totals — a per-shuffle
+  * CPU tax whose only over-bar movers are all slower under zstd — so
   * zstd is not "neutral-or-better" and does not earn unconditional
   * default status. It earns the big-shuffle role instead: the round-9
   * 1000x sweep showed the lz4→zstd ratio gap is the difference between

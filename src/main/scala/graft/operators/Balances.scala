@@ -74,15 +74,68 @@ object Balances {
       .union(freezes.map(f => BalEvent(f.address, f.propertyId,
         f.txDbSerialNum, 1, 0, 0, 0, 0, 0, f.freeze)))
 
-    val folded = merged
-      .repartition($"address", $"propertyId")
+    val folded =
+      if (sys.env.get("GRAFT_BALANCES_BUCKETED").contains("1"))
+        foldViaBucketedTable(merged)
+      else merged
+        .repartition($"address", $"propertyId")
+        .sortWithinPartitions($"address", $"propertyId", $"serial",
+          $"kind", $"idx")
+        .mapPartitions { it =>
+          new GroupRuns(it.map(e => ((e.address, e.propertyId), e)))
+            .map { case ((addr, pid), run) => foldRun(addr, pid, run) }
+        }
+    folded.union(derive(cold))
+  }
+
+  /** MEASUREMENT VARIANT (env-gated, r10 verdict ask #5): route the
+    * freeze-fold stream through a BUCKETED, SORTED on-disk table
+    * instead of the in-flight repartition+sort, so the fold reads a
+    * pre-clustered scan with no exchange — the "pre-bucket the facts so
+    * the windows read shuffle-free" hypothesis, made concrete at the
+    * serve's dominant clustering step. Note what the variant can and
+    * cannot remove: the bucketed WRITE still performs the same
+    * clustering shuffle + sort the in-flight form does (bucket hashing
+    * IS HashPartitioning on the same keys), so within a single serve it
+    * adds a parquet round-trip; it can only win when one materialized
+    * clustering feeds ≥2 clustering-aligned consumers or multiple runs
+    * (the long-lived-pipeline shape). The A/B at 100× prices exactly
+    * that delta. Correctness is independent of the A/B verdict: the
+    * scan keeps one partition per bucket (all rows of a key together)
+    * and the residual sortWithinPartitions is exchange-free, so the
+    * gates stay hash-green under the flag.
+    */
+  private def foldViaBucketedTable(
+      merged: Dataset[BalEvent]): Dataset[AddressBalance] = {
+    val spark = merged.sparkSession
+    import spark.implicits._
+    require(spark.sessionState.conf.bucketingEnabled,
+      "GRAFT_BALANCES_BUCKETED needs spark.sql.sources.bucketing.enabled " +
+        "(a non-bucketed scan would split keys across partitions)")
+    val n = spark.sessionState.conf.numShufflePartitions
+    val tbl = "g_balev_" + java.lang.Long.toHexString(System.nanoTime())
+    // pre-repartition on the bucket keys with numPartitions == numBuckets
+    // (same Murmur3 hash both sides) → one file per bucket
+    merged
+      .repartition(n, $"address", $"propertyId")
+      .write
+      .bucketBy(n, "address", "propertyId")
+      .sortBy("address", "propertyId", "serial", "kind", "idx")
+      .mode("overwrite")
+      .saveAsTable(tbl)
+    graft.CacheScope.defer { () =>
+      try spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      catch { case _: Exception => () }
+    }
+    spark.table(tbl).as[BalEvent]
+      // exchange-free (the bucketed scan already clusters by key);
+      // belt-and-braces ordering in case a bucket ever holds >1 file
       .sortWithinPartitions($"address", $"propertyId", $"serial",
         $"kind", $"idx")
       .mapPartitions { it =>
         new GroupRuns(it.map(e => ((e.address, e.propertyId), e)))
           .map { case ((addr, pid), run) => foldRun(addr, pid, run) }
       }
-    folded.union(derive(cold))
   }
 
   /** Sequential fold of one (address, propertyId) event stream —

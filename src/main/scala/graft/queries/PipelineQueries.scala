@@ -710,18 +710,23 @@ object PipelineQueries {
         // sweep box holds in any codec; r9 PERF). The eager
         // localCheckpoint materializes this fork's bounded
         // address×property result, then the serve's internal persists
-        // are released and its now-unreferenced shuffle files handed to
-        // ContextCleaner (GC-prompted) BEFORE the next fork starts —
-        // peak scratch is one serve, not two. The checkpoints
+        // are released and the shuffles registered DURING the serve are
+        // swept deterministically (GraftShuffleSweep — the ContextCleaner
+        // code path, minus the GC it used to need) BEFORE the next fork
+        // starts — peak scratch is one serve, not two. The checkpoints
         // themselves stay registered for the harness's ordinary
-        // end-of-query release.
+        // end-of-query release, and read from their own blocks, so the
+        // swept shuffles are unreferenced by construction.
         val m = graft.CacheScope.mark()
+        val shufflesBefore =
+          org.apache.spark.GraftShuffleSweep.snapshot(s.sparkContext)
         val snap = fullServe(s, dir, raw, fork, Some(fork))
           .withColumn("fork_label", lit(label))
           .localCheckpoint()
         graft.CacheScope.releaseSince(m)
         graft.CacheScope.register(snap)
-        System.gc() // prompt ContextCleaner to drop the serve's shuffles
+        org.apache.spark.GraftShuffleSweep.dropSince(
+          s.sparkContext, shufflesBefore)
         snap: DataFrame
       }
       .reduce(_ unionByName _)

@@ -32,12 +32,17 @@ import org.apache.spark.sql.functions._
   * the same logical operation but not against a CONCURRENT different
   * one (a cron'd compactor racing a reorg rollback could resurrect a
   * dropped partition from its snapshot). Each therefore takes a
-  * sink-level writer lock — an atomic create of `_graft_writer.lock`
-  * under the table root — and a second concurrent mutator fails loudly
+  * sink-level writer lock — create-no-overwrite of `_graft_writer.lock`
+  * under the table root, plus an owner stamp (host/pid/nonce) that is
+  * read back before the mutation runs, so even on stores where the
+  * create itself is NOT atomic (S3A's HEAD-then-PUT, RawLocal's
+  * check-then-create) a double-grant race is detected and exactly one
+  * racer proceeds — and a second concurrent mutator fails loudly
   * instead of interleaving. Readers never look at the lock (leading
   * `_` names are invisible to Spark's file index). A lock orphaned by
-  * a crashed writer must be cleared explicitly with [[forceUnlock]] —
-  * loud recovery is the point; silent expiry would re-admit the race.
+  * a crashed writer must be cleared explicitly with [[forceUnlock]]
+  * after checking [[lockOwner]] — loud recovery is the point; silent
+  * expiry would re-admit the race.
   */
 object BlockRangeSink {
 
@@ -59,33 +64,137 @@ object BlockRangeSink {
     (p.getFileSystem(hadoopConf), p)
   }
 
-  /** Sink-level single-writer guard. `fs.create(overwrite = false)` is
-    * the atomic primitive (atomic on HDFS and object-store committers;
-    * check-then-create on the local RawLocalFileSystem, which is the
-    * test stand-in, not the deployment target). Always released on
-    * exit — including failure — so only a process CRASH leaves the
-    * lock behind, and that case is [[forceUnlock]]'s.
+  /** Sink-level single-writer guard, in two layers:
+    *
+    *  1. `fs.create(overwrite = false)` — atomic ONLY on filesystems
+    *     with atomic create-no-overwrite (HDFS, and object stores with
+    *     conditional-write support). On S3A it is a non-atomic
+    *     HEAD-then-PUT, and on the local RawLocalFileSystem (the test
+    *     stand-in) a check-then-create — on those, two racing creators
+    *     can BOTH pass this layer.
+    *  2. An owner stamp (host + pid + nonce + timestamp) written into
+    *     the lock file and READ BACK before the mutation starts. On a
+    *     store with last-writer-wins PUT semantics and read-after-write
+    *     consistency (S3 since 2020, any POSIX fs), at most one racer
+    *     sees its own stamp — the double-grant race becomes a detected
+    *     collision: the loser throws loudly WITHOUT touching the
+    *     winner's lock, and never runs its mutation.
+    *
+    * The stamp also gives [[forceUnlock]] operators visibility into WHO
+    * holds an orphaned lock ([[lockOwner]]). Always released on exit —
+    * including failure — so only a process CRASH leaves the lock
+    * behind, and that case is [[forceUnlock]]'s. Release re-verifies
+    * the stamp: deleting a lock someone else now owns (after a mistaken
+    * mid-mutation forceUnlock) would re-admit the race, so a stolen
+    * lock fails loudly instead.
     */
   private def withWriterLock[T](path: String)(body: => T): T = {
     val (fs, root) = fsFor(path)
     if (!fs.exists(root)) fs.mkdirs(root)
     val lock = new Path(root, LockName)
-    val out =
-      try fs.create(lock, /* overwrite = */ false)
+    val token = newLockToken()
+    try stampLock(fs, lock, token, overwrite = false)
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"BlockRangeSink: writer lock $lock is held" +
+            lockOwner(path).fold("")(o => s" by [$o]") +
+            " — a concurrent mutation (write/compact/dropAbove) is in " +
+            "flight. The sink is single-writer; if the holder crashed, " +
+            "clear it with forceUnlock.", e)
+    }
+    // Layer 2: collision detection for non-atomic-create stores. Throws
+    // BEFORE the try/finally below, so a loser never deletes the
+    // winner's lock on its way out.
+    verifyLockOwner(fs, lock, token)
+    var bodyFailure: Throwable = null
+    try body
+    catch { case t: Throwable => bodyFailure = t; throw t }
+    finally {
+      try releaseLock(fs, lock, token)
       catch {
-        case e: java.io.IOException =>
-          throw new IllegalStateException(
-            s"BlockRangeSink: writer lock $lock is held — a concurrent " +
-              "mutation (write/compact/dropAbove) is in flight. The sink " +
-              "is single-writer; if the holder crashed, clear it with " +
-              "forceUnlock.", e)
+        case r: Throwable =>
+          // don't mask the body's own failure with the release failure
+          if (bodyFailure != null) bodyFailure.addSuppressed(r)
+          else throw r
       }
-    out.close()
-    try body finally fs.delete(lock, false)
+    }
+  }
+
+  /** host + pid + nonce + epoch-millis — enough for an operator to find
+    * the holder, and unique per acquisition attempt.
+    */
+  private def newLockToken(): String = {
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception => "unknown-host" }
+    s"$host pid=${ProcessHandle.current().pid()} " +
+      s"nonce=${java.util.UUID.randomUUID()} ts=${System.currentTimeMillis()}"
+  }
+
+  /** Create the lock file carrying `token`. `overwrite = true` exists
+    * ONLY for the race-simulation spec (it emulates a second creator
+    * whose non-atomic create also "succeeded" on S3A/RawLocal).
+    */
+  private[graft] def stampLock(fs: FileSystem, lock: Path, token: String,
+      overwrite: Boolean): Unit = {
+    val out = fs.create(lock, overwrite)
+    try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read back the stamp; a mismatch means another creator won the
+    * non-atomic create race — fail loudly, leave THEIR lock alone.
+    */
+  private[graft] def verifyLockOwner(fs: FileSystem, lock: Path,
+      token: String): Unit = {
+    val found = readLock(fs, lock)
+    if (found != Some(token)) {
+      throw new IllegalStateException(
+        s"BlockRangeSink: lost the writer-lock race on $lock — stamped " +
+          s"[$token] but read back ${found.fold("nothing")(o => s"[$o]")}. " +
+          "A concurrent mutator holds the lock; this mutation did not run.")
+    }
+  }
+
+  private def releaseLock(fs: FileSystem, lock: Path, token: String): Unit =
+    readLock(fs, lock) match {
+      case Some(t) if t == token => fs.delete(lock, false)
+      case other =>
+        throw new IllegalStateException(
+          s"BlockRangeSink: writer lock $lock was " +
+            other.fold("removed")(o => s"taken over by [$o]") +
+            s" while this mutation (held as [$token]) was running — the " +
+            "single-writer guarantee was violated (mistaken forceUnlock " +
+            "mid-mutation?). The just-finished mutation may have raced " +
+            "the new holder; audit the table.")
+    }
+
+  private def readLock(fs: FileSystem, lock: Path): Option[String] =
+    try {
+      val in = fs.open(lock)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](512)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Who holds the writer lock (the owner stamp), if anyone — the
+    * operator-facing view for deciding whether [[forceUnlock]] is safe
+    * (e.g. the stamped pid/host is verifiably dead).
+    */
+  def lockOwner(path: String): Option[String] = {
+    val (fs, root) = fsFor(path)
+    readLock(fs, new Path(root, LockName))
   }
 
   /** Clear a writer lock orphaned by a crashed mutator. Deliberate,
-    * named recovery — never called implicitly.
+    * named recovery — never called implicitly; check [[lockOwner]]
+    * first.
     */
   def forceUnlock(path: String): Boolean = {
     val (fs, root) = fsFor(path)
@@ -106,25 +215,34 @@ object BlockRangeSink {
     spark.read.parquet(path)
 
   /** Resume watermark (reference omniEngine.py:61-66: select
-    * max(blocknumber)): the high-water mark read from the sink's own
-    * partitions — partition pruning makes this a metadata-only scan of
-    * the tail.
+    * max(blocknumber), an O(1) B-tree probe — the bar). Two steps, both
+    * tail-bounded: the max partition VALUE comes from the same FS
+    * directory listing [[stats]] uses (one listing, no data scan —
+    * Spark's `agg(max(partitionCol))` is NOT metadata-only by default,
+    * so the previous form silently scanned the whole table to learn the
+    * max partition), and only the in-partition max reads data, pruned
+    * to that single tail partition. At 100 TB / ~100k partitions this
+    * is one directory listing plus one partition's files, never a
+    * table pass.
     */
   def watermark(spark: SparkSession, path: String,
       blockCol: String = "block"): Long = {
-    val (fs, root) = fsFor(path)
-    val hasParts = fs.exists(root) &&
-      fs.listStatus(root).exists(_.getPath.getName.startsWith("blockRange="))
-    if (!hasParts) -1L
-    else {
-      // partition values are re-inferred on read (int), hence the casts
-      val maxRange = read(spark, path)
-        .agg(max(col("blockRange").cast("long"))).head().getLong(0)
-      read(spark, path)
-        .where(col("blockRange") === maxRange)
-        .agg(max(col(blockCol).cast("long"))).head().getLong(0)
-    }
+    val ranges = stats(path).filter(_.nFiles > 0)
+    if (ranges.isEmpty) -1L
+    else tailMaxProbe(spark, path, ranges.map(_.blockRange).max, blockCol)
+      .head().getLong(0)
   }
+
+  /** The pruned in-partition max query — factored out so the plan spec
+    * can assert (via the scan's own numFiles metric) that it reads
+    * exactly the max partition's files and nothing else.
+    */
+  private[graft] def tailMaxProbe(spark: SparkSession, path: String,
+      maxRange: Long, blockCol: String): DataFrame =
+    // partition values are re-inferred on read (int), hence the casts
+    read(spark, path)
+      .where(col("blockRange").cast("long") === maxRange)
+      .agg(max(col(blockCol).cast("long")))
 
   /** Per-partition file statistics — metadata-only (directory listing,
     * no data scan): the observability a long-lived table needs to

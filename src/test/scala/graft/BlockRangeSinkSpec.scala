@@ -107,6 +107,81 @@ class BlockRangeSinkSpec extends SparkTestBase {
     assert(!lock.exists())
   }
 
+  test("watermark is metadata-bounded: max range from the FS listing, " +
+      "data probe reads ONLY the max partition's files") {
+    val dir = Files.createTempDirectory("graft_sink_wm").toString
+    // 4 files per partition so "pruned" and "whole table" differ by
+    // file COUNT, the metric the scan reports
+    val batch = (1L to 3500L).map(b => (b, s"tx$b")).toDF("block", "txid")
+      .repartition(4)
+    BlockRangeSink.write(batch, dir)
+    val st = BlockRangeSink.stats(dir)
+    val maxRange = st.map(_.blockRange).max
+    val tailFiles = st.find(_.blockRange == maxRange).get.nFiles
+    val totalFiles = st.map(_.nFiles).sum
+    assert(maxRange == 3L && totalFiles > tailFiles,
+      s"fixture not partitioned as expected: $st")
+    // AQE wraps the executed plan in adaptive stages; the probe is a
+    // single pruned scan + agg that AQE cannot improve, so turn it off
+    // for plan introspection only
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = BlockRangeSink.tailMaxProbe(spark, dir, maxRange, "block")
+      // collect(), not head(): head() executes a separate limit-1
+      // QueryExecution, leaving THIS dataset's plan (whose metrics we
+      // read below) unexecuted
+      assert(probe.collect().head.getLong(0) == 3500L)
+      val scanned = probe.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }
+      assert(scanned.sum == tailFiles,
+        s"tail probe read ${scanned.sum} files; the max partition holds " +
+          s"$tailFiles of $totalFiles — partition pruning regressed")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    // end-to-end: watermark agrees, and an empty root still answers -1
+    assert(BlockRangeSink.watermark(spark, dir) == 3500L)
+    val empty = Files.createTempDirectory("graft_sink_wm_empty").toString
+    assert(BlockRangeSink.watermark(spark, empty) == -1L)
+  }
+
+  test("writer-lock race on a non-atomic-create store: both creators " +
+      "stamp, exactly one survives the read-back, loser never deletes") {
+    val dir = Files.createTempDirectory("graft_sink_race").toString
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(root, BlockRangeSink.LockName)
+    // Simulate the S3A/RawLocal double-grant: BOTH creators' non-atomic
+    // create "succeeds" (overwrite=true emulates the interleaving where
+    // each passed the existence check), last writer's stamp lands
+    BlockRangeSink.stampLock(fs, lock, "creatorA", overwrite = true)
+    BlockRangeSink.stampLock(fs, lock, "creatorB", overwrite = true)
+    // creatorA reads back creatorB's stamp → loses LOUDLY, naming both
+    val e = intercept[IllegalStateException] {
+      BlockRangeSink.verifyLockOwner(fs, lock, "creatorA")
+    }
+    assert(e.getMessage.contains("creatorA") &&
+      e.getMessage.contains("creatorB"))
+    // the loser's failure path must NOT have removed the winner's lock
+    assert(BlockRangeSink.lockOwner(dir).contains("creatorB"))
+    // creatorB is the single winner and proceeds
+    BlockRangeSink.verifyLockOwner(fs, lock, "creatorB")
+    // a third mutator arriving now fails up front and the error names
+    // the current owner (the operator-visibility half of the stamp)
+    val held = intercept[IllegalStateException] {
+      BlockRangeSink.write(
+        Seq((1L, "tx1")).toDF("block", "txid"), dir)
+    }
+    assert(held.getMessage.contains("creatorB"))
+    assert(BlockRangeSink.forceUnlock(dir))
+    assert(BlockRangeSink.lockOwner(dir).isEmpty)
+    // after recovery a real mutation stamps its own owner and releases
+    BlockRangeSink.write(Seq((1L, "tx1")).toDF("block", "txid"), dir)
+    assert(BlockRangeSink.lockOwner(dir).isEmpty)
+    assert(BlockRangeSink.watermark(spark, dir) == 1L)
+  }
+
   test("compaction merges small files, preserves data, and is idempotent") {
     val dir = Files.createTempDirectory("graft_sink_compact").toString
     // 8 writer tasks per range → 8 small files per partition, the

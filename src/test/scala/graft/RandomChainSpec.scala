@@ -127,31 +127,49 @@ class RandomChainSpec extends SparkTestBase {
     // GRAFT_SOAK_BASE: fresh seed range per soak run (see sink soak)
     val base = sys.env.get("GRAFT_SOAK_BASE").map(_.toLong).getOrElse(500009L)
     (1 to n).foreach { i =>
-      val seed = base + i * 104729L
-      val chain = randomChain(seed, 120)
-      val d = OmniPipeline.derive(spark.createDataset(chain),
-        tipBlock = 1000)
-      val b = d.balances.where($"propertyId" === 31L).collect()
-      val total = b.map(x => x.available + x.reserved + x.frozen).sum
-      assert(total == 100000000000000L, s"soak seed=$seed")
-      assert(b.map(_.accepted).sum >= 0L, s"soak seed=$seed accepted<0")
-      def bal(txs: Seq[RawTx], tip: Long) =
-        OmniPipeline.derive(spark.createDataset(txs), tip)
-          .balances.collect()
-          .map(x => (x.address, x.propertyId) ->
-            ((x.available, x.reserved, x.accepted, x.frozen)))
-          .toMap
-      // random fork height: prefix chains must conserve value too, and
-      // two independent derivations of the same prefix must be
-      // bit-identical (nondeterminism in the serial-stamp/fold paths
-      // is what a reorg re-derivation would amplify)
-      val fork = 3L + (seed % 20L).abs
-      val prefix = chain.filter(_.block <= fork)
-      val once = bal(prefix, fork)
-      assert(once == bal(prefix, fork), s"soak seed=$seed fork=$fork")
-      assert(once.collect { case ((_, 31L), v) => v._1 + v._2 + v._4 }.sum
-        == 100000000000000L, s"soak seed=$seed fork=$fork conservation")
+      soakChainCase(base + i * 104729L)
       if (i % 50 == 0) info(s"soak: $i/$n chains green")
     }
+  }
+
+  // CI slice of the soak (r10 verdict ask #6): the idle-box soak ran
+  // 650 chains behind GRAFT_CHAIN_SOAK, which CI never sets. These 8
+  // seeds are pinned FROM the explored default soak range
+  // (500009 + i·104729 — all green in the round-10 650/650 run), so the
+  // whole-chain conservation/re-derivation invariants are re-proven on
+  // every CI run across the soaked space, not only the fixed seeds.
+  test("CI slice: pinned soak-range chain seeds stay green") {
+    for (i <- Seq(1L, 20L, 50L, 75L, 100L, 120L, 140L, 150L))
+      soakChainCase(500009L + i * 104729L)
+  }
+
+  /** One soak case: whole-chain conservation at the tip, plus
+    * truncate-equals-fresh-prefix (run twice, bit-identical) and
+    * conservation at a seed-derived fork height.
+    */
+  private def soakChainCase(seed: Long): Unit = {
+    val chain = randomChain(seed, 120)
+    val d = OmniPipeline.derive(spark.createDataset(chain),
+      tipBlock = 1000)
+    val b = d.balances.where($"propertyId" === 31L).collect()
+    val total = b.map(x => x.available + x.reserved + x.frozen).sum
+    assert(total == 100000000000000L, s"soak seed=$seed")
+    assert(b.map(_.accepted).sum >= 0L, s"soak seed=$seed accepted<0")
+    def bal(txs: Seq[RawTx], tip: Long) =
+      OmniPipeline.derive(spark.createDataset(txs), tip)
+        .balances.collect()
+        .map(x => (x.address, x.propertyId) ->
+          ((x.available, x.reserved, x.accepted, x.frozen)))
+        .toMap
+    // random fork height: prefix chains must conserve value too, and
+    // two independent derivations of the same prefix must be
+    // bit-identical (nondeterminism in the serial-stamp/fold paths
+    // is what a reorg re-derivation would amplify)
+    val fork = 3L + (seed % 20L).abs
+    val prefix = chain.filter(_.block <= fork)
+    val once = bal(prefix, fork)
+    assert(once == bal(prefix, fork), s"soak seed=$seed fork=$fork")
+    assert(once.collect { case ((_, 31L), v) => v._1 + v._2 + v._4 }.sum
+      == 100000000000000L, s"soak seed=$seed fork=$fork conservation")
   }
 }

@@ -130,6 +130,21 @@ class SinkLifecycleRandomSpec extends SparkTestBase {
     runLifecycle(seed = 1789L, steps = 10)
   }
 
+  // CI slice of the soak (r10 verdict ask #6): the idle-box soaks ran
+  // 580 lifecycles behind GRAFT_SINK_SOAK, which CI never sets — so the
+  // default suite re-proved only the three seeds above. These 9 seeds
+  // are pinned FROM the three explored soak ranges (bases
+  // 100003/900001/7700009, seed = base + i·7919, all green in the
+  // round-10 580/580 run): a sink/ingest regression now has to survive
+  // a spread of the soaked interleavings to land green, not just the
+  // fixed trio.
+  test("CI slice: pinned soak-range sink seeds stay green") {
+    for ((base, i) <- Seq((100003L, 1), (100003L, 150), (100003L, 300),
+        (900001L, 1), (900001L, 100), (900001L, 200),
+        (7700009L, 1), (7700009L, 40), (7700009L, 80)))
+      runLifecycle(seed = base + i * 7919L, steps = 12)
+  }
+
   // Soak mode for idle-box bug hunts: GRAFT_SINK_SOAK=N runs N extra
   // seeded lifecycles (canceled, not vacuously green, when unset).
   // Any failure message carries its seed, so a soak find replays as a

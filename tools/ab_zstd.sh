@@ -1,8 +1,14 @@
 #!/bin/bash
-# Same-conditions A/B of the engine's shuffle/spill codec at sf0.1
-# (r9 ask #4: confirm zstd — now the GraftConf default — is
-# neutral-or-better at bench scale before trusting it fleet-wide;
-# its 1000x fit-vs-die advantage is already recorded in PERF r9).
+# Same-conditions A/B of the engine's shuffle/spill codec at sf0.1.
+# Round-10's version of this script was a DEAD KNOB (r10 ADVICE, high):
+# it set -Dspark.io.compression.codec via GRAFT_SPARK_OPTS, but
+# GraftConf sets the codec explicitly on the SparkSession builder and
+# builder .config() overrides -D system properties — so both legs ran
+# the same codec and the recorded "+9.8% zstd" never measured zstd.
+# This version sets the env var GraftConf actually reads
+# (GRAFT_SHUFFLE_CODEC) and VERIFIES each leg via the "codec" stamp
+# Bench now reads back from the live session — a leg whose stamp
+# disagrees aborts the A/B instead of recording garbage.
 # Interleaved Z/L/Z/L runs, one fresh JVM each, full registry,
 # single run per JVM: pairing adjacent runs cancels box drift, and
 # comparing the two MINIMA per codec cancels cold-JIT noise.
@@ -14,11 +20,20 @@ for i in $(seq 1 "$ROUNDS"); do
   for codec in zstd lz4; do
     GRAFT_CLASSES=$CLS SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
       SPARK_GRAFT_CPUS=32 SPARK_GRAFT_RUNS=1 \
-      GRAFT_SPARK_OPTS="-Dspark.io.compression.codec=$codec" \
+      GRAFT_SHUFFLE_CODEC="$codec" GRAFT_BENCH_NO_ARTIFACT=1 \
       tools/run_graft.sh graft.Bench 2>/dev/null \
       | grep -o '{"metric":"total_detail".*' | head -1 \
       > "/tmp/ab_zstd_${codec}_$i.json"
-    echo "$codec run $i: $(python3 -c "import json;print(json.load(open('/tmp/ab_zstd_${codec}_$i.json'))['value'])")"
+    python3 - "$codec" "$i" <<'PY' || exit 1
+import json, sys
+codec, i = sys.argv[1], sys.argv[2]
+d = json.load(open(f"/tmp/ab_zstd_{codec}_{i}.json"))
+stamp = d.get("codec")
+if stamp != codec:
+    sys.exit(f"ABORT: leg requested {codec} but the session ran "
+             f"{stamp!r} — the codec knob is dead again")
+print(f"{codec} run {i}: {d['value']} (codec stamp verified)")
+PY
   done
 done
 python3 - "$ROUNDS" <<'EOF'

@@ -48,13 +48,27 @@ def canonical_baseline():
 
 
 def main():
-    files = [a for a in sys.argv[1:] if not _is_num(a)]
-    nums = [a for a in sys.argv[1:] if _is_num(a)]
+    # --movers N: print ONLY a csv of the top-N shared queries by
+    # absolute min-time delta (machine-readable, for the end-of-round
+    # interleaved A/B that attributes drift vs build cost).
+    movers_n = None
+    argv = sys.argv[1:]
+    if "--movers" in argv:
+        i = argv.index("--movers")
+        movers_n = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    files = [a for a in argv if not _is_num(a)]
+    nums = [a for a in argv if _is_num(a)]
+    if len(files) not in (0, 2):
+        raise SystemExit(
+            "usage: tools/bench_diff.py [BASELINE.json NEW.json] "
+            "[ratio] [abs_s]  (file args come in pairs)")
     if files:
         bp, np_ = files[0], files[1]
     else:
         bp, np_ = canonical_baseline(), "/root/repo/BENCH_DETAIL.json"
-    print(f"baseline: {bp}\nnew:      {np_}")
+    if movers_n is None:
+        print(f"baseline: {bp}\nnew:      {np_}")
     sys.argv = [sys.argv[0], bp, np_] + nums
     bd = load(sys.argv[1])
     nd = load(sys.argv[2])
@@ -68,6 +82,10 @@ def main():
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
     abs_s = float(sys.argv[4]) if len(sys.argv) > 4 else 0.3
     shared = sorted(set(base) & set(new))
+    if movers_n is not None:
+        top = sorted(shared, key=lambda q: -abs(new[q] - base[q]))
+        print(",".join(top[:movers_n]))
+        return
     only_b = sorted(set(base) - set(new))
     only_n = sorted(set(new) - set(base))
     regressed = [(q, base[q], new[q]) for q in shared

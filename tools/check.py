@@ -149,10 +149,13 @@ def hash_compare(con, name, spark_src, oracle_sql, slice_spec=None,
     slice_spec=(col, n): SLICED ORACLE for results whose oracle holds
     per-group state the single-node engine cannot spill (DuckDB's
     ordered string_agg at 5M groups dies in malloc). The oracle digest
-    is computed per slice `WHERE col % n = k` and folded across slices
-    — sound because both count and sum(hash(row)) are order- and
-    partition-insensitive, and the slices partition the output exactly
-    (col must be a non-NULL integer output column). The win requires
+    is computed per slice `WHERE abs(col) % n = k` (slice 0 also takes
+    `col IS NULL` rows) and folded across slices — sound because both
+    count and sum(hash(row)) are order- and partition-insensitive, and
+    the slices partition the output EXACTLY for any integer column:
+    abs() keeps negative keys in range (DuckDB's % preserves sign, so a
+    signed modulo would silently drop them from every slice) and the
+    NULL arm catches what no modulo matches. The win requires
     col to be a group/partition key DuckDB can push below the stateful
     operator (doc_id for the per-document aggregations); a slice on a
     non-pushable column just recomputes the full pipeline n times.
@@ -280,9 +283,14 @@ def digest_part(sf_dir, out_dir, name, slice_spec, part):
         oracle_sql = json.load(f)[name]
     col, nslices = slice_spec
     con = connect(sf_dir)
-    n, h, sig = digest(
-        con,
-        f'SELECT * FROM ({oracle_sql}) WHERE "{col}" % {nslices} = {part}')
+    # abs() + a NULL arm on slice 0 make the slices a true partition of
+    # ANY integer column (signed % would route negative keys to no
+    # slice and NULLs match no modulo — either would surface as a
+    # confusing row-count FAIL).
+    cond = f'abs("{col}") % {nslices} = {part}'
+    if part == 0:
+        cond = f'("{col}" IS NULL OR {cond})'
+    n, h, sig = digest(con, f'SELECT * FROM ({oracle_sql}) WHERE {cond}')
     print("DIGEST " + json.dumps(
         {"n": n, "h": str(h) if h is not None else None,
          "sig": [list(p) for p in sig]}), flush=True)

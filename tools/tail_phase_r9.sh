@@ -20,7 +20,8 @@ for q in dedup_incremental e2e_ingest_full dedup_minhash_lsh m4_reorg_flagship; 
   rm -rf "/tmp/straggler_1000_$q"
   timeout 5400 env SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$q" \
     SPARK_GRAFT_OUT_PARTS=32 SPARK_DRIVER_MEM=48g \
-    GRAFT_SPARK_OPTS="-Dspark.driver.maxResultSize=8g -Dspark.io.compression.codec=zstd" \
+    GRAFT_SHUFFLE_CODEC=zstd \
+    GRAFT_SPARK_OPTS="-Dspark.driver.maxResultSize=8g" \
     tools/run_graft.sh graft.Verify /tmp/scale1000 "/tmp/straggler_1000_$q" \
     > "/tmp/straggler_1000_$q.verify.log" 2>&1
   rc=$?
