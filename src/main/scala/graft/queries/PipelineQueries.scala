@@ -694,43 +694,90 @@ object PipelineQueries {
       .stripMargin) { (s, dir) =>
     import s.implicits._
     val (raw, _) = fullRaw(s, dir)
-    // same two scalars fullRaw derives for epilogue numbering
+    // same two scalars fullRaw derives for epilogue numbering, plus the
+    // row count the fork-scheduling policy keys on (one aggregate read)
     val dimRow = t(s, dir, "orders")
       .agg(max($"o_orderkey").cast(LongType),
-        max($"o_custkey").cast(LongType)).head()
+        max($"o_custkey").cast(LongType), count(lit(1))).head()
     val purBase = dimRow.getLong(0) + 200L
     val adminBase = purBase + dimRow.getLong(1) + 1L + 1000L
-    Seq(("mid_purchases", purBase + dimRow.getLong(1) / 2L),
-        ("mid_admin", adminBase + 199L))
+    m4ForkUnion(s, dir, raw,
+      Seq(("mid_purchases", purBase + dimRow.getLong(1) / 2L),
+          ("mid_admin", adminBase + 199L)),
+      sequential = m4Sequential(dimRow.getLong(2)))
+  }
+
+  /** Fork-serve SCHEDULING policy for [[m4ReorgFlagship]] — scale-
+    * adaptive, the same shape as AQE's runtime re-plans: the two fork
+    * serves are independent 19-type flagship derivations, and the only
+    * question is whether their scratch may coexist.
+    *
+    *  - SEQUENTIAL (large inputs): each serve is eagerly checkpointed
+    *    and its shuffles swept before the next starts — peak scratch is
+    *    one serve, not two. This is what completes 1000× on a 64 GB
+    *    scratch disk (~45 GB/serve; co-resident >62 GB died — r9 PERF).
+    *  - CO-RESIDENT (bench-scale inputs): one lazy union, both serves
+    *    evaluated in a single job. No checkpoint materialization, no
+    *    barrier between the forks — measured ~3-5 s cheaper on the
+    *    sf0.1 gate where two serves' scratch is ~2×1 GB.
+    *
+    * Auto threshold: sequential from 50 M orders rows (≈ ScaleGen 333×,
+    * where co-resident scratch ~2×15 GB starts crowding a one-box
+    * sweep disk; every driver/bench SF is 5 orders of magnitude below
+    * it, every regime the sequential form was built for is above it).
+    * `GRAFT_M4_FORKS=sequential|coresident` pins the schedule,
+    * `GRAFT_M4_SEQ_ROWS` moves the auto threshold. Both schedules
+    * produce identical rows (spec-pinned in `FullReorgSpec`); the
+    * policy only trades latency against peak scratch.
+    */
+  private[graft] def m4Sequential(ordersRows: Long): Boolean =
+    sys.env.get("GRAFT_M4_FORKS") match {
+      case Some("sequential") => true
+      case Some("coresident") => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"GRAFT_M4_FORKS must be 'sequential' or 'coresident', got '$other'")
+      case None => ordersRows >=
+        sys.env.get("GRAFT_M4_SEQ_ROWS").map(_.toLong).getOrElse(50000000L)
+    }
+
+  /** Union of the two reorg fork serves under either schedule — see
+    * [[m4Sequential]] for when each is chosen.
+    */
+  private[graft] def m4ForkUnion(s: SparkSession, dir: String,
+      raw: DataFrame, forks: Seq[(String, Long)],
+      sequential: Boolean): DataFrame =
+    forks
       .map { case (label, fork) =>
-        // The two fork serves run SEQUENTIALLY, not as one lazy union:
-        // each serve is a full 19-type flagship derivation (~45 GB of
-        // shuffle/spill at 1000×), and a lazy union evaluates both in
-        // one job so their scratch COEXISTS (>62 GB — more than the
-        // sweep box holds in any codec; r9 PERF). The eager
-        // localCheckpoint materializes this fork's bounded
-        // address×property result, then the serve's internal persists
-        // are released and the shuffles registered DURING the serve are
-        // swept deterministically (GraftShuffleSweep — the ContextCleaner
-        // code path, minus the GC it used to need) BEFORE the next fork
-        // starts — peak scratch is one serve, not two. The checkpoints
-        // themselves stay registered for the harness's ordinary
-        // end-of-query release, and read from their own blocks, so the
-        // swept shuffles are unreferenced by construction.
-        val m = graft.CacheScope.mark()
-        val shufflesBefore =
-          org.apache.spark.GraftShuffleSweep.snapshot(s.sparkContext)
-        val snap = fullServe(s, dir, raw, fork, Some(fork))
-          .withColumn("fork_label", lit(label))
-          .localCheckpoint()
-        graft.CacheScope.releaseSince(m)
-        graft.CacheScope.register(snap)
-        org.apache.spark.GraftShuffleSweep.dropSince(
-          s.sparkContext, shufflesBefore)
-        snap: DataFrame
+        if (!sequential) {
+          // lazy: both serves materialize in the consumer's one job;
+          // their internal persists stay registered for the harness's
+          // ordinary end-of-query release.
+          fullServe(s, dir, raw, fork, Some(fork))
+            .withColumn("fork_label", lit(label))
+        } else {
+          // The eager localCheckpoint materializes this fork's bounded
+          // address×property result, then the serve's internal persists
+          // are released and the shuffles registered DURING the serve
+          // are swept deterministically (GraftShuffleSweep — the
+          // ContextCleaner code path, minus the GC it used to need)
+          // BEFORE the next fork starts. The checkpoints themselves stay
+          // registered for the harness's ordinary end-of-query release,
+          // and read from their own blocks, so the swept shuffles are
+          // unreferenced by construction.
+          val m = graft.CacheScope.mark()
+          val shufflesBefore =
+            org.apache.spark.GraftShuffleSweep.snapshot(s.sparkContext)
+          val snap = fullServe(s, dir, raw, fork, Some(fork))
+            .withColumn("fork_label", lit(label))
+            .localCheckpoint()
+          graft.CacheScope.releaseSince(m)
+          graft.CacheScope.register(snap)
+          org.apache.spark.GraftShuffleSweep.dropSince(
+            s.sparkContext, shufflesBefore)
+          snap: DataFrame
+        }
       }
       .reduce(_ unionByName _)
-  }
 
   /** The 19-type flagship's node feed: the union of raw JSON payload
     * legs plus the serve-time tip, factored out so the reorg spec can

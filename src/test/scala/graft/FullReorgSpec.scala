@@ -56,4 +56,34 @@ class FullReorgSpec extends SparkTestBase {
       assert(rolledBack != full, s"$label: fork=$fork truncated nothing")
     }
   }
+
+  test("m4 fork scheduling: sequential == co-resident") {
+    // The scale-adaptive schedule (PipelineQueries.m4Sequential) only
+    // trades latency against peak scratch — both forms must produce
+    // identical rows, or the policy would change answers by data size.
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val (raw, _) = queries.PipelineQueries.fullRaw(s, dir)
+    val dims = Tables.t(s, dir, "orders")
+      .agg(max("o_orderkey"), max("o_custkey")).head()
+    val purBase = dims.getLong(0) + 200L
+    val adminBase = purBase + dims.getLong(1) + 1L + 1000L
+    val forks = Seq(
+      ("mid_purchases", purBase + dims.getLong(1) / 2L),
+      ("mid_admin", adminBase + 199L))
+
+    def run(sequential: Boolean): Seq[org.apache.spark.sql.Row] = {
+      val rows = queries.PipelineQueries
+        .m4ForkUnion(s, dir, raw, forks, sequential)
+        .orderBy("fork_label", "walletId", "address", "propertyId")
+        .collect().toSeq
+      queries.Q.releaseScoped()
+      rows
+    }
+
+    val seq = run(sequential = true)
+    val co = run(sequential = false)
+    assert(seq.nonEmpty, "fork union returned no rows")
+    assert(seq == co, "sequential and co-resident fork serves diverge")
+  }
 }
