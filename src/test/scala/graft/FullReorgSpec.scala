@@ -86,4 +86,12 @@ class FullReorgSpec extends SparkTestBase {
     assert(seq.nonEmpty, "fork union returned no rows")
     assert(seq == co, "sequential and co-resident fork serves diverge")
   }
+
+  test("m4 auto schedule flips sequential exactly at the row threshold") {
+    // CI runs with GRAFT_M4_FORKS unset, so this exercises the auto arm.
+    assume(sys.env.get("GRAFT_M4_FORKS").isEmpty
+      && sys.env.get("GRAFT_M4_SEQ_ROWS").isEmpty)
+    assert(!queries.PipelineQueries.m4Sequential(50000000L - 1))
+    assert(queries.PipelineQueries.m4Sequential(50000000L))
+  }
 }
