@@ -260,23 +260,24 @@ object DedupQueries {
     "dedup_minhash_lsh",
     s"""WITH $corpusNfcSql,
       |$shingledSql,
-      |hh AS (SELECT doc_id, ${dh60("shingle")} AS h FROM sh),
+      |hh AS MATERIALIZED (SELECT doc_id, ${dh60("shingle")} AS h FROM sh),
       |hp AS (SELECT doc_id, h % 2147483647 AS h31 FROM hh),
-      |mh AS (SELECT doc_id,
+      |mh AS MATERIALIZED (SELECT doc_id,
       |${(0 until 8).map(k =>
         s"  min((${MinHashPerm.a(k)} * h31 + ${MinHashPerm.b(k)}) % 2147483647) AS mh$k")
         .mkString(",\n")}
       |FROM hp GROUP BY doc_id),
-      |bands AS (
+      |bands AS MATERIALIZED (
       |${(0 until 4).map(b =>
         s"  SELECT doc_id, $b AS band, md5(CAST(mh${2 * b} AS VARCHAR) || ',' || CAST(mh${2 * b + 1} AS VARCHAR)) AS sig FROM mh")
         .mkString("\n  UNION ALL\n")}),
-      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-      |cnt AS (SELECT doc_id, count(DISTINCT h) AS n FROM hh GROUP BY doc_id),
+      |cnt AS MATERIALIZED (SELECT doc_id, count(DISTINCT h) AS n
+      |  FROM hh GROUP BY doc_id),
       |cids AS (SELECT id_a AS cid FROM cand UNION SELECT id_b FROM cand),
-      |shc AS (SELECT DISTINCT doc_id, h FROM hh
+      |shc AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM hh
       |        WHERE doc_id IN (SELECT cid FROM cids)),
       |shared AS (
       |  SELECT c.id_a, c.id_b, count(*) AS shared
@@ -462,22 +463,24 @@ object DedupQueries {
     "dedup_incremental",
     s"""WITH $corpusSql,
       |$shingledSql,
-      |hh AS (SELECT doc_id, ${dh60("shingle")} AS h FROM sh),
+      |hh AS MATERIALIZED (SELECT doc_id, ${dh60("shingle")} AS h FROM sh),
       |hp AS (SELECT doc_id, h % 2147483647 AS h31 FROM hh),
-      |mh AS (SELECT doc_id,
+      |mh AS MATERIALIZED (SELECT doc_id,
       |${(0 until 8).map(k =>
         s"  min((${MinHashPerm.a(k)} * h31 + ${MinHashPerm.b(k)}) % 2147483647) AS mh$k")
         .mkString(",\n")}
       |FROM hp GROUP BY doc_id),
-      |bands AS (
+      |bands AS MATERIALIZED (
       |${(0 until 4).map(b =>
         s"  SELECT doc_id, $b AS band, md5(CAST(mh${2 * b} AS VARCHAR) || ',' || CAST(mh${2 * b + 1} AS VARCHAR)) AS sig FROM mh")
         .mkString("\n  UNION ALL\n")}),
-      |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      |cand AS MATERIALIZED (SELECT DISTINCT n.doc_id AS new_id,
+      |    o.doc_id AS old_id
       |  FROM bands n JOIN bands o
       |    ON n.band = o.band AND n.sig = o.sig
       |   AND n.doc_id >= 100000 AND o.doc_id < 100000),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM hh GROUP BY doc_id),
+      |cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n
+      |  FROM hh GROUP BY doc_id),
       |shared AS (
       |  SELECT c.new_id, c.old_id, count(*) AS shared
       |  FROM cand c

@@ -366,30 +366,31 @@ object PipelineQueries {
     */
   val e2eIngestFull = Q(
     "e2e_ingest_full",
-    """WITH o AS (SELECT o_orderkey AS ok, o_custkey AS ck,
+    """WITH o AS MATERIALIZED (SELECT o_orderkey AS ok, o_custkey AS ck,
       |    o_orderkey % 10 AS m,
       |    CAST(round(o_totalprice * 100) AS BIGINT) AS amt,
       |    row_number() OVER (ORDER BY o_orderkey) AS r
       |  FROM orders),
-      |dims AS (SELECT CAST(count(*) AS BIGINT) AS o_n FROM o),
+      |dims AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS o_n FROM o),
       |nn AS (SELECT CAST(n_nationkey AS BIGINT) AS nk FROM nation),
       |acc0 AS (SELECT ck, ok, amt, r,
       |    row_number() OVER (PARTITION BY ck ORDER BY ok) AS rn
       |  FROM o WHERE m = 6),
-      |acc AS (SELECT ck, ck % 25 AS nk, ok, amt AS want, r
+      |acc AS MATERIALIZED (SELECT ck, ck % 25 AS nk, ok, amt AS want, r
       |  FROM acc0 WHERE rn = 1),
-      |offr AS (SELECT nn.nk, coalesce(max(a.want), 1) AS oamt
+      |offr AS MATERIALIZED (SELECT nn.nk, coalesce(max(a.want), 1) AS oamt
       |  FROM nn LEFT JOIN acc a ON a.nk = nn.nk GROUP BY nn.nk),
-      |accg AS (SELECT a.ck, a.nk, a.r, a.want,
+      |accg AS MATERIALIZED (SELECT a.ck, a.nk, a.r, a.want,
       |    least(sum(a.want) OVER w, f.oamt)
       |      - least(sum(a.want) OVER w - a.want, f.oamt) AS got
       |  FROM acc a JOIN offr f ON a.nk = f.nk
       |  WINDOW w AS (PARTITION BY a.nk ORDER BY a.ok
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-      |pur AS (SELECT ck, nk, got, row_number() OVER (ORDER BY ck) AS j
+      |pur AS MATERIALIZED (SELECT ck, nk, got,
+      |    row_number() OVER (ORDER BY ck) AS j
       |  FROM accg WHERE ck % 2 = 0),
-      |np AS (SELECT CAST(count(*) AS BIGINT) AS p_n FROM pur),
-      |t8 AS (SELECT ck, ok, amt, r, ck % 25 AS nk,
+      |np AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS p_n FROM pur),
+      |t8 AS MATERIALIZED (SELECT ck, ok, amt, r, ck % 25 AS nk,
       |    lag(ck) OVER w8 AS pck, lag(amt) OVER w8 AS pamt,
       |    row_number() OVER w8 AS rn8
       |  FROM o WHERE m = 8
@@ -535,32 +536,33 @@ object PipelineQueries {
     */
   val m4ReorgFlagship = Q(
     "m4_reorg_flagship",
-    """WITH o AS (SELECT o_orderkey AS ok, o_custkey AS ck,
+    """WITH o AS MATERIALIZED (SELECT o_orderkey AS ok, o_custkey AS ck,
       |    o_orderkey % 10 AS m,
       |    CAST(round(o_totalprice * 100) AS BIGINT) AS amt,
       |    row_number() OVER (ORDER BY o_orderkey) AS r
       |  FROM orders),
-      |dims AS (SELECT CAST(count(*) AS BIGINT) AS o_n,
+      |dims AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS o_n,
       |    CAST(max(ok) AS BIGINT) AS mok,
       |    CAST(max(ck) AS BIGINT) AS mck FROM o),
       |nn AS (SELECT CAST(n_nationkey AS BIGINT) AS nk FROM nation),
       |acc0 AS (SELECT ck, ok, amt, r,
       |    row_number() OVER (PARTITION BY ck ORDER BY ok) AS rn
       |  FROM o WHERE m = 6),
-      |acc AS (SELECT ck, ck % 25 AS nk, ok, amt AS want, r
+      |acc AS MATERIALIZED (SELECT ck, ck % 25 AS nk, ok, amt AS want, r
       |  FROM acc0 WHERE rn = 1),
-      |offr AS (SELECT nn.nk, coalesce(max(a.want), 1) AS oamt
+      |offr AS MATERIALIZED (SELECT nn.nk, coalesce(max(a.want), 1) AS oamt
       |  FROM nn LEFT JOIN acc a ON a.nk = nn.nk GROUP BY nn.nk),
-      |accg AS (SELECT a.ck, a.nk, a.ok, a.r, a.want,
+      |accg AS MATERIALIZED (SELECT a.ck, a.nk, a.ok, a.r, a.want,
       |    least(sum(a.want) OVER w, f.oamt)
       |      - least(sum(a.want) OVER w - a.want, f.oamt) AS got
       |  FROM acc a JOIN offr f ON a.nk = f.nk
       |  WINDOW w AS (PARTITION BY a.nk ORDER BY a.ok
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-      |pur AS (SELECT ck, nk, got, row_number() OVER (ORDER BY ck) AS j
+      |pur AS MATERIALIZED (SELECT ck, nk, got,
+      |    row_number() OVER (ORDER BY ck) AS j
       |  FROM accg WHERE ck % 2 = 0),
-      |np AS (SELECT CAST(count(*) AS BIGINT) AS p_n FROM pur),
-      |t8 AS (SELECT ck, ok, amt, r, ck % 25 AS nk,
+      |np AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS p_n FROM pur),
+      |t8 AS MATERIALIZED (SELECT ck, ok, amt, r, ck % 25 AS nk,
       |    lag(ck) OVER w8 AS pck, lag(amt) OVER w8 AS pamt,
       |    row_number() OVER w8 AS rn8
       |  FROM o WHERE m = 8
