@@ -1,12 +1,15 @@
 #!/bin/bash
 # Round-11 ask #1: measure the VERIFICATION FRONTIER of the four rows
-# whose 1000x standing is engine-digest-only (e2e_ingest_full,
+# whose 1000x standing was engine-digest-only (e2e_ingest_full,
 # m4_reorg_flagship, dedup_minhash_lsh, dedup_incremental — their
-# DuckDB oracles exhaust this box's RAM/spill disk at 1000x). For one
-# scale FACTOR: generate the scaled dir if absent, then per query run
-# a fresh engine Verify and the order-free --hash oracle, logging
-# OK/FAIL. Walking factors upward (e.g. 400 then 630) turns "the
-# oracle can't at 1000x" into a measured largest-green scale per row.
+# INLINED DuckDB oracles exhausted this box's spill disk at 1000x).
+# For one scale FACTOR: generate the scaled dir if absent, then per
+# query run a fresh engine Verify and the order-free --hash oracle,
+# logging OK/FAIL. Walking factors upward turned "the oracle can't at
+# 1000x" into a measured largest-green scale per row (250x green /
+# 400x disk-bound), and after the oracle CTEs went AS MATERIALIZED
+# (PERF.md r11) the same protocol ran ALL FOUR green at 1000x — the
+# script now doubles as the full-protocol re-run tool for any factor.
 #
 # The box must be QUIET: the oracle needs most of the RAM once the
 # Spark JVM exits (the r10 phase-A lesson: a concurrent JVM turns a
