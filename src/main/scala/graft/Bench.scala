@@ -27,8 +27,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // GRAFT_MASTER: multi-JVM override, same contract as graft.Verify
+    val master = sys.env.getOrElse("GRAFT_MASTER", s"local[$cpus]")
     val spark = GraftConf(SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions"))
       .getOrCreate()
@@ -174,11 +176,22 @@ object Bench {
         try w.println(detail) finally w.close()
       }
     } catch { case _: Throwable => () }
-    // Final driver line: total + the slowest queries, sized to survive
-    // the 2000-char tail window with room for the sbt trailer.
-    val top = results.sortBy(-_._2).take(25).sortBy(_._1)
+    // Final driver line: total + the slowest queries + the per-query
+    // MIN for the WHOLE registry, sized to survive the 2000-char tail
+    // window. The full-registry min rides as a VALUE ARRAY in ascending
+    // query-name order ("min_order":"name_asc" — the names are the
+    // sorted `queries` registry keys, also carried verbatim in
+    // BENCH_DETAIL.json's queries_min): a name→value map for 145
+    // queries is ~3.4 kB and cannot fit the window, the bare values
+    // fit with room to spare. Min-per-query in the driver artifact is
+    // what lets a reader separate a single-run box outlier (min flat,
+    // median up — round 11's 36.8 s m4 reading) from a real plan
+    // regression (both up) WITHOUT a same-box re-run. Median map is
+    // trimmed to top-15 to hold the line under ~1.7 kB.
+    val top = results.sortBy(-_._2).take(15).sortBy(_._1)
+    val minAll = mins.sortBy(_._1).map(m => fmt(m._2)).mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","action":"$action","queries":${mapJson(top)},"n_queries":${results.size},"n_failed":$nFailed,"top_only":25,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","action":"$action","queries":${mapJson(top)},"n_queries":${results.size},"n_failed":$nFailed,"top_only":15,"min_order":"name_asc","queries_min":$minAll,"total_min":${fmt(totalMin)},"sf":"$sfDir"}""")
     spark.stop()
   }
 

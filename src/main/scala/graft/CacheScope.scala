@@ -57,13 +57,13 @@ object CacheScope {
     * release (checkpoints cannot recompute once unpersisted).
     */
   def register(ds: Dataset[_]): Unit = {
-    val ckRdds = ds.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }
     scoped.synchronized {
       scoped += { () =>
         ds.unpersist(blocking = false)
-        ckRdds.foreach(_.unpersist(blocking = false))
+        // block-level caches AND reliable-checkpoint files (GraftCheckpoint
+        // snapshots under spark.graft.reliableCheckpoint leave FS files
+        // Spark itself never deletes)
+        GraftCheckpoint.free(ds)
       }
       checkGrowth()
     }

@@ -1,0 +1,107 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Snapshot policy for eager mid-query materialization (r11 verdict
+  * ask #2).
+  *
+  * The engine's snapshot sites — [[graft.sinks.BlockRangeSink.compact]]
+  * / `dropAbove` (decouple a partition overwrite from its own source
+  * files) and the m4 sequential fork schedule (bound peak scratch to
+  * one fork serve) — default to `localCheckpoint()`: blocks on
+  * executors, no distributed-FS round-trip, the right latency/cost
+  * point for a benchmark or a static cluster. But local checkpoint
+  * blocks DIE WITH THEIR EXECUTOR, and a localCheckpoint cannot
+  * recompute (lineage is truncated by design) — under
+  * `spark.dynamicAllocation.enabled` or executor loss, a consumer of
+  * the snapshot fails terminally.
+  *
+  * `spark.graft.reliableCheckpoint=true` swaps every such site to a
+  * RELIABLE `checkpoint()`: the snapshot is written to a
+  * cluster-visible directory (resolution order:
+  * `spark.graft.checkpointDir` → the site's own hint, e.g. the sink
+  * table's `_graft_checkpoint/` → an already-set
+  * `SparkContext.setCheckpointDir`), so it survives the loss of any —
+  * or every — executor (demonstrated by [[MultiJvmDemo]]: an executor
+  * JVM is force-killed between snapshot and consume under
+  * `local-cluster`). Default off: at bench scale the FS write is pure
+  * overhead; on a long-lived or dynamically-allocated cluster, turn it
+  * on.
+  *
+  * When the default (local) path runs under dynamic allocation it
+  * WARNS once per session instead of refusing — deallocation is
+  * timing-dependent and a hard refuse would break static-executor jobs
+  * that merely inherited the conf.
+  */
+object GraftCheckpoint {
+
+  /** Boolean session conf: reliable `checkpoint()` instead of
+    * `localCheckpoint()` at every engine snapshot site.
+    */
+  val EnabledKey = "spark.graft.reliableCheckpoint"
+
+  /** Cluster-visible checkpoint directory for the reliable mode; wins
+    * over per-site hints and any pre-set `SparkContext` checkpoint dir.
+    */
+  val DirKey = "spark.graft.checkpointDir"
+
+  def reliable(spark: SparkSession): Boolean =
+    spark.conf.get(EnabledKey, "false").toBoolean
+
+  private val warnedDynamicAllocation = new AtomicBoolean(false)
+
+  /** Eagerly materialize `ds` per the session's checkpoint policy.
+    * `dirHint` is the site's natural home for reliable snapshot files
+    * (the sink passes its table's `_graft_checkpoint/`); sites with no
+    * natural home pass None and the operator supplies [[DirKey]].
+    */
+  def snapshot[T](ds: Dataset[T], dirHint: Option[String] = None)
+      : Dataset[T] = {
+    val spark = ds.sparkSession
+    if (reliable(spark)) {
+      val sc = spark.sparkContext
+      spark.conf.getOption(DirKey).orElse(dirHint) match {
+        case Some(dir) => sc.setCheckpointDir(dir)
+        case None if sc.getCheckpointDir.isDefined => // keep it
+        case None => throw new IllegalStateException(
+          s"$EnabledKey=true but no checkpoint directory: set $DirKey " +
+            "(a cluster-visible path) or SparkContext.setCheckpointDir " +
+            "before running snapshot-materializing operators.")
+      }
+      ds.checkpoint()
+    } else {
+      if (spark.conf.get("spark.dynamicAllocation.enabled", "false")
+            .toBoolean &&
+          warnedDynamicAllocation.compareAndSet(false, true))
+        System.err.println(
+          "[graft] WARN: localCheckpoint snapshots under dynamic " +
+            "allocation — blocks die with released executors and cannot " +
+            s"recompute. Set $EnabledKey=true (and $DirKey) for " +
+            "executor-loss-safe snapshots.")
+      ds.localCheckpoint()
+    }
+  }
+
+  /** Free a snapshot produced by [[snapshot]]: drop the block-level
+    * cache (local mode) and delete the checkpoint files (reliable
+    * mode — Spark only deletes them itself under
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`, which
+    * defaults false). Safe on either mode: `getCheckpointFile` is None
+    * for local checkpoints, `unpersist` is a no-op for reliable ones.
+    */
+  def free(ds: Dataset[_]): Unit = {
+    val conf = ds.sparkSession.sparkContext.hadoopConfiguration
+    ds.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach { r =>
+      r.unpersist(blocking = false)
+      r.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        try p.getFileSystem(conf).delete(p, true)
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+}

@@ -7,8 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // GRAFT_MASTER overrides the in-process master for multi-JVM runs
+    // (e.g. local-cluster[2,16,4096] — 2 executor JVMs, the first real
+    // process boundary the registry crosses; tools/run_multijvm.sh).
+    // Executor classpath/memory ride in via -Dspark.* GRAFT_SPARK_OPTS.
+    val master = sys.env.getOrElse("GRAFT_MASTER", s"local[$cpus]")
     val spark = GraftConf(SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       // the production registration path for graft's native functions
       // (queries also call GraftFunctions.register for foreign sessions)

@@ -250,17 +250,41 @@ object BlockRangeSink {
     */
   final case class RangeStats(blockRange: Long, nFiles: Int, bytes: Long)
 
+  /** ONE recursive listing (`listFiles(root, true)` — a single
+    * paginated LIST on S3A, one NameNode walk on HDFS), grouped by the
+    * `blockRange=` parent — the previous per-partition `listStatus`
+    * loop was one RPC per partition, O(100k) round-trips at 100 TB.
+    * Only files sitting DIRECTLY in a root-level `blockRange=` dir
+    * count: in-flight commit attempts nest the partition dir under
+    * `_temporary/...`, and the depth check keeps them (and any
+    * `_graft_checkpoint/` snapshot files) invisible, as the
+    * top-level-dirs-only listing was by construction. A partition dir
+    * holding zero data files is NOT reported (the recursive listing
+    * never sees it) — same answer Spark's own file index gives, and no
+    * caller distinguishes an empty dir from an absent one.
+    */
   def stats(path: String): Seq[RangeStats] = {
     val (fs, root) = fsFor(path)
     if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("blockRange="))
-      .map { d =>
-        val files = fs.listStatus(d.getPath)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        RangeStats(d.getPath.getName.stripPrefix("blockRange=").toLong,
-          files.length, files.map(_.getLen).sum)
-      }.sortBy(_.blockRange)
+    else {
+      val qroot = fs.makeQualified(root)
+      val acc = scala.collection.mutable.Map.empty[Long, (Int, Long)]
+      val it = fs.listFiles(qroot, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val dir = f.getPath.getParent
+        if (f.getPath.getName.endsWith(".parquet") &&
+            dir != null && dir.getName.startsWith("blockRange=") &&
+            dir.getParent == qroot) {
+          val r = dir.getName.stripPrefix("blockRange=").toLong
+          val (n, b) = acc.getOrElse(r, (0, 0L))
+          acc.update(r, (n + 1, b + f.getLen))
+        }
+      }
+      acc.toSeq
+        .map { case (r, (n, b)) => RangeStats(r, n, b) }
+        .sortBy(_.blockRange)
+    }
   }
 
   /** Small-file compaction: every incremental batch appends files to
@@ -281,21 +305,24 @@ object BlockRangeSink {
     }
     todo.foreach { st =>
       val n = math.max(1, math.ceil(st.bytes.toDouble / targetBytes).toInt)
-      val snap = read(spark, path)
-        .where(col("blockRange").cast("long") === st.blockRange)
-        .coalesce(n)
-        .localCheckpoint()
+      // snapshot policy (local vs executor-loss-safe reliable) is the
+      // session's — graft.GraftCheckpoint; reliable files land under
+      // the table's own `_graft_checkpoint/` (leading `_`: invisible
+      // to readers and to [[stats]]'s depth check)
+      val snap = graft.GraftCheckpoint.snapshot(
+        read(spark, path)
+          .where(col("blockRange").cast("long") === st.blockRange)
+          .coalesce(n),
+        Some(s"$path/_graft_checkpoint"))
       try
         snap.write
           .partitionBy("blockRange")
           .option("partitionOverwriteMode", "dynamic")
           .mode(SaveMode.Overwrite)
           .parquet(path)
-      finally snap.queryExecution.analyzed.collect {
-        // free the snapshot blocks immediately (Dataset.unpersist is a
-        // no-op for localCheckpoints; drop the RDD under the plan leaf)
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.foreach(_.unpersist(blocking = false))
+      // free the snapshot immediately: blocks (local mode) or
+      // checkpoint files (reliable mode)
+      finally graft.GraftCheckpoint.free(snap)
     }
     todo.map(_.blockRange)
   }
@@ -337,17 +364,16 @@ object BlockRangeSink {
         else {
           // snapshot decouples the overwrite from its own source files
           // (Spark refuses to overwrite a path it is reading) — the
-          // same pattern as [[compact]]
-          val snap = keep.localCheckpoint()
+          // same pattern and checkpoint policy as [[compact]]
+          val snap = graft.GraftCheckpoint.snapshot(
+            keep, Some(s"$path/_graft_checkpoint"))
           try
             snap.write
               .partitionBy("blockRange")
               .option("partitionOverwriteMode", "dynamic")
               .mode(SaveMode.Overwrite)
               .parquet(path)
-          finally snap.queryExecution.analyzed.collect {
-            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-          }.foreach(_.unpersist(blocking = false))
+          finally graft.GraftCheckpoint.free(snap)
         }
       }
     }

@@ -213,4 +213,36 @@ class BlockRangeSinkSpec extends SparkTestBase {
     // hold other suites' blocks, so compare against the baseline)
     assert(spark.sparkContext.getPersistentRDDs.keySet == cachedBefore)
   }
+
+  test("stats costs ONE client listing call, independent of partition " +
+      "count, and matches the per-dir answer (counting-FS double)") {
+    val dir4 = Files.createTempDirectory("graft_sink_cnt4").toString
+    BlockRangeSink.write(
+      (1L to 3500L).map(b => (b, s"tx$b")).toDF("block", "txid"), dir4)
+    val dir12 = Files.createTempDirectory("graft_sink_cnt12").toString
+    BlockRangeSink.write(
+      (1L to 11500L).map(b => (b, s"tx$b")).toDF("block", "txid"), dir12)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.countfs.impl", classOf[CountingFileSystem].getName)
+    def counted(dir: String) = {
+      CountingFileSystem.reset()
+      val st = BlockRangeSink.stats(s"countfs://$dir")
+      (st, CountingFileSystem.calls.get())
+    }
+    val (st4, c4) = counted(dir4)
+    val (st12, c12) = counted(dir12)
+    // identical RangeStats to the plain-path answer on both fixtures
+    assert(st4 == BlockRangeSink.stats(dir4))
+    assert(st12 == BlockRangeSink.stats(dir12))
+    assert(st4.map(_.blockRange) == (0L to 3L) &&
+      st12.map(_.blockRange) == (0L to 11L))
+    // THE property: one listing at 4 partitions, one at 12 — the cost
+    // is flat in partition count (the old per-dir loop was 1 + P calls)
+    assert(c4 == 1, s"stats(4 partitions) made $c4 listing calls")
+    assert(c12 == 1, s"stats(12 partitions) made $c12 listing calls")
+    // watermark through the same scheme answers identically (its stats
+    // leg is the same single listing; the tail probe is a pruned read)
+    assert(BlockRangeSink.watermark(spark, s"countfs://$dir12") ==
+      BlockRangeSink.watermark(spark, dir12))
+  }
 }

@@ -10,6 +10,15 @@ import sys
 import duckdb
 import numpy as np
 
+# Six oracles use `AS MATERIALIZED` CTEs (DuckDB >= 0.9 syntax; the
+# driver environment has 1.0.0). An older interpreter would turn them
+# into SYNTAX ERRORS — fail fast with the real cause, not 6 cryptic
+# per-query parse failures.
+_dv = tuple(int(x) for x in duckdb.__version__.split(".")[:2])
+assert _dv >= (0, 9), (
+    f"duckdb >= 0.9 required for AS MATERIALIZED oracles, "
+    f"found {duckdb.__version__}")
+
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
