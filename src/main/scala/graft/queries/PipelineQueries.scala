@@ -703,10 +703,20 @@ object PipelineQueries {
         max($"o_custkey").cast(LongType), count(lit(1))).head()
     val purBase = dimRow.getLong(0) + 200L
     val adminBase = purBase + dimRow.getLong(1) + 1L + 1000L
+    val sequential = m4Sequential(dimRow.getLong(2))
+    // Stamp the CHOSEN schedule into the run's stderr (never stdout —
+    // Bench's driver JSON tail window is stdout): near the auto
+    // threshold the same gate can legitimately flip schedule between
+    // runs, and an unattributed flip looks like box drift in a bench
+    // diff (r11 ADVICE).
+    System.err.println(
+      s"[graft] m4_reorg_flagship schedule=" +
+        s"${if (sequential) "sequential" else "coresident"} " +
+        s"ordersRows=${dimRow.getLong(2)}")
     m4ForkUnion(s, dir, raw,
       Seq(("mid_purchases", purBase + dimRow.getLong(1) / 2L),
           ("mid_admin", adminBase + 199L)),
-      sequential = m4Sequential(dimRow.getLong(2)))
+      sequential = sequential)
   }
 
   /** Fork-serve SCHEDULING policy for [[m4ReorgFlagship]] — scale-
@@ -739,7 +749,13 @@ object PipelineQueries {
       case Some(other) => throw new IllegalArgumentException(
         s"GRAFT_M4_FORKS must be 'sequential' or 'coresident', got '$other'")
       case None => ordersRows >=
-        sys.env.get("GRAFT_M4_SEQ_ROWS").map(_.toLong).getOrElse(50000000L)
+        sys.env.get("GRAFT_M4_SEQ_ROWS").map { v =>
+          try v.toLong
+          catch { case e: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"GRAFT_M4_SEQ_ROWS must be a row count (long), got '$v'", e)
+          }
+        }.getOrElse(50000000L)
     }
 
   /** Union of the two reorg fork serves under either schedule — see
@@ -748,38 +764,59 @@ object PipelineQueries {
   private[graft] def m4ForkUnion(s: SparkSession, dir: String,
       raw: DataFrame, forks: Seq[(String, Long)],
       sequential: Boolean): DataFrame =
-    forks
-      .map { case (label, fork) =>
-        if (!sequential) {
-          // lazy: both serves materialize in the consumer's one job;
-          // their internal persists stay registered for the harness's
-          // ordinary end-of-query release.
+    if (!sequential)
+      // lazy: both serves materialize in the consumer's one job; their
+      // internal persists stay registered for the harness's ordinary
+      // end-of-query release.
+      forks
+        .map { case (label, fork) =>
           fullServe(s, dir, raw, fork, Some(fork))
             .withColumn("fork_label", lit(label))
-        } else {
-          // The eager localCheckpoint materializes this fork's bounded
-          // address×property result, then the serve's internal persists
-          // are released and the shuffles registered DURING the serve
-          // are swept deterministically (GraftShuffleSweep — the
-          // ContextCleaner code path, minus the GC it used to need)
-          // BEFORE the next fork starts. The checkpoints themselves stay
-          // registered for the harness's ordinary end-of-query release,
-          // and read from their own blocks, so the swept shuffles are
-          // unreferenced by construction.
+        }
+        .reduce(_ unionByName _)
+    else {
+      val sc = s.sparkContext
+      // SHARED FORK PREFIX (r12): the raw legs' window shuffles and the
+      // JSON round-trip are fork-independent, and every fork's input is
+      // a prefix of truncate(parsed, max(fork)) — truncation is
+      // monotone, truncate(truncate(x, max), f) == truncate(x, f) for
+      // f <= max. The old schedule re-derived that parse FROM RAW once
+      // per fork; materialize it once instead, registered for the
+      // harness's end-of-query release (NOT the per-fork releases
+      // below), and sweep the raw-construction shuffles immediately —
+      // the snapshot reads its own blocks, so they are unreferenced by
+      // construction.
+      val shufParse = org.apache.spark.GraftShuffleSweep.snapshot(sc)
+      val sharedTxs = graft.GraftCheckpoint.snapshot(
+        graft.operators.OmniPipeline.truncate(
+          parseTxs(s, raw), forks.map(_._2).max))
+      graft.CacheScope.register(sharedTxs)
+      org.apache.spark.GraftShuffleSweep.dropSince(sc, shufParse)
+      forks
+        .map { case (label, fork) =>
+          // Eagerly materialize this fork's bounded address×property
+          // result, then release the serve's internal persists and
+          // sweep the shuffles registered DURING the serve
+          // (GraftShuffleSweep — the ContextCleaner code path, minus
+          // the GC it used to need) BEFORE the next fork starts — peak
+          // scratch stays one serve, not two. Checkpoint policy is the
+          // session's (GraftCheckpoint): localCheckpoint by default,
+          // reliable FS checkpoint under spark.graft.reliableCheckpoint
+          // — executor loss between the fork serves then costs a
+          // re-read, not the query.
           val m = graft.CacheScope.mark()
           val shufflesBefore =
-            org.apache.spark.GraftShuffleSweep.snapshot(s.sparkContext)
-          val snap = fullServe(s, dir, raw, fork, Some(fork))
-            .withColumn("fork_label", lit(label))
-            .localCheckpoint()
+            org.apache.spark.GraftShuffleSweep.snapshot(sc)
+          val snap = graft.GraftCheckpoint.snapshot(
+            serveTxs(s, dir, sharedTxs, fork, Some(fork))
+              .withColumn("fork_label", lit(label)))
           graft.CacheScope.releaseSince(m)
           graft.CacheScope.register(snap)
-          org.apache.spark.GraftShuffleSweep.dropSince(
-            s.sparkContext, shufflesBefore)
+          org.apache.spark.GraftShuffleSweep.dropSince(sc, shufflesBefore)
           snap: DataFrame
         }
-      }
-      .reduce(_ unionByName _)
+        .reduce(_ unionByName _)
+    }
 
   /** The 19-type flagship's node feed: the union of raw JSON payload
     * legs plus the serve-time tip, factored out so the reorg spec can
@@ -1035,19 +1072,27 @@ object PipelineQueries {
     * reorg spec compares against a fresh run of the truncated prefix.
     */
   private[graft] def fullServe(s: SparkSession, dir: String,
-      raw: DataFrame, tip: Long, fork: Option[Long] = None): DataFrame = {
+      raw: DataFrame, tip: Long, fork: Option[Long] = None): DataFrame =
+    serveTxs(s, dir, parseTxs(s, raw), tip, fork)
+
+  /** The fork-INDEPENDENT prefix of [[fullServe]], factored out so the
+    * sequential reorg schedule can materialize it once and serve every
+    * fork from the shared parse (r11 verdict ask #3): one schema'd
+    * JacksonParser pass over the raw union + the typed RawTx lift.
+    * Everything upstream of here — the raw legs' window shuffles, the
+    * JSON round-trip — is identical for every fork; only
+    * [[OmniPipeline.truncate]]'s bound differs downstream.
+    */
+  private[graft] def parseTxs(s: SparkSession, raw: DataFrame)
+      : org.apache.spark.sql.Dataset[RawTx] = {
     import s.implicits._
-    import graft.operators.OmniPipeline
-    import graft.serving.WalletViews
-    val nn = t(s, dir, "nation")
-      .select($"n_nationkey".cast(LongType).as("nk"))
 
     // S2: one schema'd JacksonParser pass over the union
     val parsed = raw
       .select(from_json($"payload",
         org.apache.spark.sql.Encoders.product[JTx].schema).as("tx"))
       .select($"tx.*").as[JTx]
-    val txs = parsed.map { j =>
+    parsed.map { j =>
       RawTx(txid = j.txid, protocol = "Omni",
         sendingaddress = j.sendingaddress,
         referenceaddress = j.referenceaddress, type_int = j.type_int,
@@ -1084,6 +1129,19 @@ object PipelineQueries {
             BigDecimal(c.amountunreserved))),
         featureid = j.featureid.getOrElse(0L))
     }
+  }
+
+  /** stamp → 19-type derive → serve, from an ALREADY-PARSED tx stream
+    * (the fork-dependent tail of [[fullServe]]).
+    */
+  private[graft] def serveTxs(s: SparkSession, dir: String,
+      txs: org.apache.spark.sql.Dataset[RawTx], tip: Long,
+      fork: Option[Long]): DataFrame = {
+    import s.implicits._
+    import graft.operators.OmniPipeline
+    import graft.serving.WalletViews
+    val nn = t(s, dir, "nation")
+      .select($"n_nationkey".cast(LongType).as("nk"))
 
     // the full pipeline: stamper → decoder/DEx/registry/freeze → balances
     val admitted = fork.fold(txs)(f => OmniPipeline.truncate(txs, f))

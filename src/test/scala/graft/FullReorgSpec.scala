@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** M4 at flagship scale (round-7 verdict ask #6): reorg-rollback of the
   * 19-type `e2e_ingest_full` stream. The reference's strongest contract
@@ -85,6 +86,56 @@ class FullReorgSpec extends SparkTestBase {
     val co = run(sequential = false)
     assert(seq.nonEmpty, "fork union returned no rows")
     assert(seq == co, "sequential and co-resident fork serves diverge")
+  }
+
+  test("m4 sequential serve under spark.graft.reliableCheckpoint: " +
+      "identical rows, checkpoint files freed on release, loud no-dir") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val (raw, _) = queries.PipelineQueries.fullRaw(s, dir)
+    val dims = Tables.t(s, dir, "orders")
+      .agg(max("o_orderkey"), max("o_custkey")).head()
+    val purBase = dims.getLong(0) + 200L
+    val forks = Seq(("mid_purchases", purBase + dims.getLong(1) / 2L))
+
+    def run(): Seq[org.apache.spark.sql.Row] = {
+      val rows = queries.PipelineQueries
+        .m4ForkUnion(s, dir, raw, forks, sequential = true)
+        .orderBy("fork_label", "walletId", "address", "propertyId")
+        .collect().toSeq
+      queries.Q.releaseScoped()
+      rows
+    }
+
+    val base = run()
+    // reliable mode with NO directory anywhere fails loudly at the
+    // snapshot site (must run before any setCheckpointDir on the shared
+    // sc — setCheckpointDir is sticky for the session)
+    assume(s.sparkContext.getCheckpointDir.isEmpty)
+    s.conf.set(GraftCheckpoint.EnabledKey, "true")
+    try {
+      val e = intercept[IllegalStateException](run())
+      assert(e.getMessage.contains(GraftCheckpoint.DirKey))
+
+      val ckDir = java.nio.file.Files
+        .createTempDirectory("graft_reliable_ck")
+      s.conf.set(GraftCheckpoint.DirKey, ckDir.toString)
+      val rel = run()
+      assert(rel == base,
+        "reliable checkpoint changed the m4 sequential serve's rows")
+      // release (inside run) freed the snapshot FILES, not just blocks
+      def rddDirs(p: java.nio.file.Path): Seq[String] = {
+        val st = java.nio.file.Files.walk(p)
+        try st.iterator().asScala.toSeq
+          .map(_.getFileName.toString).filter(_.startsWith("rdd-"))
+        finally st.close()
+      }
+      assert(rddDirs(ckDir).isEmpty,
+        s"reliable checkpoint files leaked after release: ${rddDirs(ckDir)}")
+    } finally {
+      s.conf.unset(GraftCheckpoint.EnabledKey)
+      s.conf.unset(GraftCheckpoint.DirKey)
+    }
   }
 
   test("m4 auto schedule flips sequential exactly at the row threshold") {
