@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** MEASUREMENT main (r11 verdict ask #5): price the bucketed balances
+  * fold in the ONLY regime its own docstring claims it can win — one
+  * materialized clustering feeding N ≥ 2 clustering-aligned consumers
+  * — against the default in-flight repartition+sort paying the
+  * exchange N times.
+  *
+  * Both legs fold the IDENTICAL persisted-and-materialized BalEvent
+  * input (so neither leg re-pays input construction) with the REAL
+  * production fold code ([[graft.operators.Balances.foldInFlight]] /
+  * `clusterToBucketedTable` + `foldBucketedTable`):
+  *
+  *  - PROBE_MODE=inflight: N × (exchange + sort + GroupRuns fold)
+  *  - PROBE_MODE=bucketed: 1 × (exchange + sort + parquet write) +
+  *    N × (bucketed scan + fold)
+  *
+  * Prints one JSON line with the leg's seconds and a result checksum
+  * (must match across legs — a divergent checksum voids the A/B).
+  * Driven interleaved, fresh JVM per leg, by
+  * `tools/ab_bucketed_regime.sh`.
+  */
+object ProbeBucketedFold {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/scale100")
+    val mode = sys.env.getOrElse("PROBE_MODE", "inflight")
+    require(Set("inflight", "bucketed")(mode),
+      s"PROBE_MODE must be inflight|bucketed, got '$mode'")
+    val consumers = sys.env.getOrElse("PROBE_CONSUMERS", "2").toInt
+    val spark = GraftConf(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.operators.{Balances, BalEvent}
+
+    // ~37 events per (address, propertyId) key at 100x: ledger deltas
+    // from orders plus one freeze marker per key mid-history, so the
+    // fold's order-dependence is exercised, not just the clustering
+    val o = Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey".cast("long").as("ok"),
+        $"o_custkey".cast("long").as("ck"),
+        round($"o_totalprice" * 100).cast("long").as("amt"))
+    val deltas = o.select(
+      concat(lit("A"), $"ck" % 100000L).as("address"),
+      ($"ok" % 4L).as("propertyId"), $"ok".as("serial"),
+      lit(0).as("kind"), lit(0).as("idx"), $"amt".as("availableDelta"),
+      lit(0L).as("reservedDelta"), lit(0L).as("acceptedDelta"),
+      lit(0L).as("frozenDelta"), lit(false).as("freeze")).as[BalEvent]
+    val freezes = o.groupBy(
+        concat(lit("A"), $"ck" % 100000L).as("address"),
+        ($"ok" % 4L).as("propertyId"))
+      .agg(floor(avg($"ok")).cast("long").as("serial"))
+      .select($"address", $"propertyId", $"serial", lit(1).as("kind"),
+        lit(0).as("idx"), lit(0L).as("availableDelta"),
+        lit(0L).as("reservedDelta"), lit(0L).as("acceptedDelta"),
+        lit(0L).as("frozenDelta"), lit(true).as("freeze")).as[BalEvent]
+    val merged = deltas.union(freezes).persist()
+    val nEvents = merged.count() // materialize OUTSIDE the timed region
+
+    def consume(folded: org.apache.spark.sql.Dataset[_]): (Long, Long) = {
+      val r = folded.agg(
+        sum(col("available")).as("a"), sum(col("frozen")).as("f"),
+        count(lit(1))).head()
+      (r.getLong(0) ^ r.getLong(2), r.getLong(1))
+    }
+
+    val t0 = System.nanoTime()
+    val sums = mode match {
+      case "bucketed" =>
+        val tbl = Balances.clusterToBucketedTable(merged)
+        (1 to consumers).map(_ =>
+          consume(Balances.foldBucketedTable(spark, tbl)))
+      case _ =>
+        (1 to consumers).map(_ => consume(Balances.foldInFlight(merged)))
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    require(sums.distinct.size == 1,
+      s"consumers disagreed within one leg: $sums")
+    println(f"""{"metric":"bucketed_regime","mode":"$mode","consumers":$consumers,"sec":$sec%.3f,"events":$nEvents,"checksum":"${sums.head}"}""")
+    CacheScope.release()
+    spark.stop()
+  }
+}
