@@ -90,18 +90,25 @@ object GraftCheckpoint {
     * `spark.cleaner.referenceTracking.cleanCheckpoints`, which
     * defaults false). Safe on either mode: `getCheckpointFile` is None
     * for local checkpoints, `unpersist` is a no-op for reliable ones.
+    *
+    * Acts ONLY when `ds` IS a snapshot — its analyzed plan is exactly
+    * the checkpoint's `LogicalRDD` leaf. Collecting leaves from
+    * arbitrary DERIVED plans instead would free any shared upstream
+    * snapshot the plan happens to read (a fork-2 serve found its
+    * shared stamped prefix unpersisted by fork-1's scoped release
+    * exactly that way — CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, caught by
+    * FullReorgSpec before it shipped); a no-op for non-snapshot
+    * datasets is the safe contract.
     */
-  def free(ds: Dataset[_]): Unit = {
-    val conf = ds.sparkSession.sparkContext.hadoopConfiguration
-    ds.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach { r =>
-      r.unpersist(blocking = false)
-      r.getCheckpointFile.foreach { f =>
+  def free(ds: Dataset[_]): Unit = ds.queryExecution.analyzed match {
+    case l: org.apache.spark.sql.execution.LogicalRDD =>
+      val conf = ds.sparkSession.sparkContext.hadoopConfiguration
+      l.rdd.unpersist(blocking = false)
+      l.rdd.getCheckpointFile.foreach { f =>
         val p = new org.apache.hadoop.fs.Path(f)
         try p.getFileSystem(conf).delete(p, true)
         catch { case _: java.io.IOException => () }
       }
-    }
+    case _ => ()
   }
 }

@@ -64,11 +64,24 @@ object OmniPipeline {
       sorted.rdd.zipWithIndex.map { case (tx, i) => (tx, i + 1L) })
   }
 
-  def derive(txs: Dataset[RawTx], tipBlock: Long): Derived = {
-    val spark = txs.sparkSession
-    import spark.implicits._
+  def derive(txs: Dataset[RawTx], tipBlock: Long): Derived =
+    deriveStamped(withSerials(txs), tipBlock)
 
-    val stamped = withSerials(txs)
+  /** [[derive]] from an ALREADY-STAMPED stream. Serial stamping is
+    * prefix-stable under block truncation — [[withSerials]]' total
+    * order leads with `block`, so every row kept by
+    * `truncate(_, fork)` sorts before every dropped row and its dense
+    * serial is unchanged: `withSerials(truncate(x, f)) ==
+    * truncate'(withSerials(x), f)` exactly. The m4 sequential schedule
+    * exploits that to stamp ONCE at max(fork) and serve every fork
+    * from the shared stamped prefix (the range-exchange + sort +
+    * zipWithIndex count pass is the serve's widest fork-independent
+    * slice).
+    */
+  def deriveStamped(stamped: Dataset[(RawTx, Long)],
+      tipBlock: Long): Derived = {
+    val spark = stamped.sparkSession
+    import spark.implicits._
 
     val baseLedger = stamped.flatMap { case (tx, s) =>
       LedgerDecoder.decode(tx, s)

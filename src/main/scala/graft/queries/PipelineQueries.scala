@@ -776,21 +776,27 @@ object PipelineQueries {
         .reduce(_ unionByName _)
     else {
       val sc = s.sparkContext
-      // SHARED FORK PREFIX (r12): the raw legs' window shuffles and the
-      // JSON round-trip are fork-independent, and every fork's input is
-      // a prefix of truncate(parsed, max(fork)) — truncation is
-      // monotone, truncate(truncate(x, max), f) == truncate(x, f) for
-      // f <= max. The old schedule re-derived that parse FROM RAW once
-      // per fork; materialize it once instead, registered for the
+      // SHARED FORK PREFIX (r12): everything from the raw legs' window
+      // shuffles through the JSON round-trip AND the serial stamping is
+      // fork-independent — truncation is monotone
+      // (truncate(truncate(x, max), f) == truncate(x, f) for f <= max)
+      // and stamping is prefix-stable under block truncation
+      // (OmniPipeline.deriveStamped scaladoc). The old schedule
+      // re-derived all of it FROM RAW once per fork; materialize the
+      // STAMPED prefix at max(fork) once instead, registered for the
       // harness's end-of-query release (NOT the per-fork releases
-      // below), and sweep the raw-construction shuffles immediately —
-      // the snapshot reads its own blocks, so they are unreferenced by
+      // below). The stamper's internal sort cache and the
+      // raw-construction shuffles are released/swept immediately — the
+      // snapshot reads its own blocks, so both are unreferenced by
       // construction.
+      val mParse = graft.CacheScope.mark()
       val shufParse = org.apache.spark.GraftShuffleSweep.snapshot(sc)
-      val sharedTxs = graft.GraftCheckpoint.snapshot(
-        graft.operators.OmniPipeline.truncate(
-          parseTxs(s, raw), forks.map(_._2).max))
-      graft.CacheScope.register(sharedTxs)
+      val sharedStamped = graft.GraftCheckpoint.snapshot(
+        graft.operators.OmniPipeline.withSerials(
+          graft.operators.OmniPipeline.truncate(
+            parseTxs(s, raw), forks.map(_._2).max)))
+      graft.CacheScope.releaseSince(mParse)
+      graft.CacheScope.register(sharedStamped)
       org.apache.spark.GraftShuffleSweep.dropSince(sc, shufParse)
       forks
         .map { case (label, fork) =>
@@ -807,8 +813,12 @@ object PipelineQueries {
           val m = graft.CacheScope.mark()
           val shufflesBefore =
             org.apache.spark.GraftShuffleSweep.snapshot(sc)
+          // per-fork truncation on the STAMPED prefix: a column-level
+          // filter (stays in codegen; no per-row object deserialization)
+          val admitted = sharedStamped
+            .where(col("_1.block") <= fork)
           val snap = graft.GraftCheckpoint.snapshot(
-            serveTxs(s, dir, sharedTxs, fork, Some(fork))
+            serveStamped(s, dir, admitted, fork)
               .withColumn("fork_label", lit(label)))
           graft.CacheScope.releaseSince(m)
           graft.CacheScope.register(snap)
@@ -1137,15 +1147,28 @@ object PipelineQueries {
   private[graft] def serveTxs(s: SparkSession, dir: String,
       txs: org.apache.spark.sql.Dataset[RawTx], tip: Long,
       fork: Option[Long]): DataFrame = {
+    import graft.operators.OmniPipeline
+    val admitted = fork.fold(txs)(f => OmniPipeline.truncate(txs, f))
+    serveStamped(s, dir, OmniPipeline.withSerials(admitted), tip)
+  }
+
+  /** 19-type derive → serve from an ALREADY-STAMPED stream — the
+    * serial-stamping sort is prefix-stable under block truncation
+    * ([[graft.operators.OmniPipeline.deriveStamped]] scaladoc), so the
+    * sequential reorg schedule stamps once at max(fork) and enters
+    * here per fork.
+    */
+  private[graft] def serveStamped(s: SparkSession, dir: String,
+      stamped: org.apache.spark.sql.Dataset[(RawTx, Long)],
+      tip: Long): DataFrame = {
     import s.implicits._
     import graft.operators.OmniPipeline
     import graft.serving.WalletViews
     val nn = t(s, dir, "nation")
       .select($"n_nationkey".cast(LongType).as("nk"))
 
-    // the full pipeline: stamper → decoder/DEx/registry/freeze → balances
-    val admitted = fork.fold(txs)(f => OmniPipeline.truncate(txs, f))
-    val d = OmniPipeline.derive(admitted, tip)
+    // the full pipeline: decoder/DEx/registry/freeze → balances
+    val d = OmniPipeline.deriveStamped(stamped, tip)
     val balances = d.balances.transform(Q.persistScoped)
     // EAGER: the serving view and the per-key detail both consume
     // balances; unpersisted, the whole stamp+fold chain runs twice.
