@@ -4,15 +4,21 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** MEASUREMENT main (r11 verdict ask #5): price the bucketed balances
-  * fold in the ONLY regime its own docstring claims it can win — one
+  * fold in the ONLY regime its docstring claimed it could win — one
   * materialized clustering feeding N ≥ 2 clustering-aligned consumers
   * — against the default in-flight repartition+sort paying the
   * exchange N times.
   *
-  * Both legs fold the IDENTICAL persisted-and-materialized BalEvent
-  * input (so neither leg re-pays input construction) with the REAL
-  * production fold code ([[graft.operators.Balances.foldInFlight]] /
-  * `clusterToBucketedTable` + `foldBucketedTable`):
+  * VERDICT (round 12, 15M events at 100×, interleaved fresh-JVM
+  * min-fold): bucketed LOSES its own regime at N=2 — 7.14 s in-flight
+  * vs 10.06 s bucketed (+41%) — and only reaches parity at N=4
+  * (11.58 vs 11.42 s, within noise). The parquet round-trip costs
+  * more than the exchange it amortizes until a consumer count no
+  * engine site has. The env-gated engine variant was REMOVED on that
+  * measurement; this probe stays as the reproducible instrument, with
+  * the bucketed mechanism inlined below (the in-flight leg still
+  * prices the REAL production fold,
+  * [[graft.operators.Balances.foldInFlight]]).
   *
   *  - PROBE_MODE=inflight: N × (exchange + sort + GroupRuns fold)
   *  - PROBE_MODE=bucketed: 1 × (exchange + sort + parquet write) +
@@ -24,6 +30,48 @@ import org.apache.spark.sql.functions._
   * `tools/ab_bucketed_regime.sh`.
   */
 object ProbeBucketedFold {
+
+  /** The removed variant's mechanism, preserved for the instrument:
+    * write the event stream as a bucketed+sorted table (the clustering
+    * shuffle happens here, once), then fold per-bucket scans with the
+    * production GroupRuns fold — exchange-free per consumer.
+    */
+  private def clusterToBucketedTable(
+      merged: org.apache.spark.sql.Dataset[graft.operators.BalEvent])
+      : String = {
+    val spark = merged.sparkSession
+    import spark.implicits._
+    val n = spark.sessionState.conf.numShufflePartitions
+    val tbl = "g_balev_probe_" +
+      java.lang.Long.toHexString(System.nanoTime())
+    merged
+      .repartition(n, $"address", $"propertyId")
+      .write
+      .bucketBy(n, "address", "propertyId")
+      .sortBy("address", "propertyId", "serial", "kind", "idx")
+      .mode("overwrite")
+      .saveAsTable(tbl)
+    CacheScope.defer { () =>
+      try spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      catch { case _: Exception => () }
+    }
+    tbl
+  }
+
+  private def foldBucketedTable(spark: SparkSession, tbl: String)
+      : org.apache.spark.sql.Dataset[graft.model.AddressBalance] = {
+    import spark.implicits._
+    import graft.operators.{BalEvent, Balances, GroupRuns}
+    spark.table(tbl).as[BalEvent]
+      .sortWithinPartitions($"address", $"propertyId", $"serial",
+        $"kind", $"idx")
+      .mapPartitions { it =>
+        new GroupRuns(it.map(e => ((e.address, e.propertyId), e)))
+          .map { case ((addr, pid), run) =>
+            Balances.foldRun(addr, pid, run)
+          }
+      }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/scale100")
     val mode = sys.env.getOrElse("PROBE_MODE", "inflight")
@@ -72,9 +120,8 @@ object ProbeBucketedFold {
     val t0 = System.nanoTime()
     val sums = mode match {
       case "bucketed" =>
-        val tbl = Balances.clusterToBucketedTable(merged)
-        (1 to consumers).map(_ =>
-          consume(Balances.foldBucketedTable(spark, tbl)))
+        val tbl = clusterToBucketedTable(merged)
+        (1 to consumers).map(_ => consume(foldBucketedTable(spark, tbl)))
       case _ =>
         (1 to consumers).map(_ => consume(Balances.foldInFlight(merged)))
     }

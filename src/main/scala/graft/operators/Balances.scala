@@ -74,17 +74,20 @@ object Balances {
       .union(freezes.map(f => BalEvent(f.address, f.propertyId,
         f.txDbSerialNum, 1, 0, 0, 0, 0, 0, f.freeze)))
 
-    val folded =
-      if (sys.env.get("GRAFT_BALANCES_BUCKETED").contains("1"))
-        foldViaBucketedTable(merged)
-      else foldInFlight(merged)
-    folded.union(derive(cold))
+    foldInFlight(merged).union(derive(cold))
   }
 
-  /** The default freeze-fold: in-flight repartition + secondary sort +
-    * [[GroupRuns]] — one exchange, no materialization. `private[graft]`
-    * so the regime probe ([[graft.ProbeBucketedFold]]) can price it
-    * against the bucketed variant on identical inputs.
+  /** The freeze-fold: in-flight repartition + secondary sort +
+    * [[GroupRuns]] — one exchange, no materialization. This is the
+    * ONLY fold path: the round-10 bucketed-table variant
+    * (GRAFT_BALANCES_BUCKETED) was REMOVED in round 12 after losing
+    * its own claimed regime in a measured A/B — one materialized
+    * clustering feeding N aligned consumers lost to N in-flight
+    * exchanges at N=2 (+41% min-fold, 15M events at 100×) and only
+    * reached parity at N=4, a consumer count no engine site has
+    * (PERF.md round 12; the instrument survives as
+    * [[graft.ProbeBucketedFold]], self-contained).
+    * `private[graft]` so the probe prices the real production fold.
     */
   private[graft] def foldInFlight(
       merged: Dataset[BalEvent]): Dataset[AddressBalance] = {
@@ -100,78 +103,6 @@ object Balances {
       }
   }
 
-  /** MEASUREMENT VARIANT (env-gated, r10 verdict ask #5): route the
-    * freeze-fold stream through a BUCKETED, SORTED on-disk table
-    * instead of the in-flight repartition+sort, so the fold reads a
-    * pre-clustered scan with no exchange — the "pre-bucket the facts so
-    * the windows read shuffle-free" hypothesis, made concrete at the
-    * serve's dominant clustering step. Note what the variant can and
-    * cannot remove: the bucketed WRITE still performs the same
-    * clustering shuffle + sort the in-flight form does (bucket hashing
-    * IS HashPartitioning on the same keys), so within a single serve it
-    * adds a parquet round-trip; it can only win when one materialized
-    * clustering feeds ≥2 clustering-aligned consumers or multiple runs
-    * (the long-lived-pipeline shape). The A/B at 100× prices exactly
-    * that delta. Correctness is independent of the A/B verdict: the
-    * scan keeps one partition per bucket (all rows of a key together)
-    * and the residual sortWithinPartitions is exchange-free, so the
-    * gates stay hash-green under the flag.
-    */
-  private def foldViaBucketedTable(
-      merged: Dataset[BalEvent]): Dataset[AddressBalance] =
-    foldBucketedTable(merged.sparkSession, clusterToBucketedTable(merged))
-
-  /** The variant's MATERIALIZE half: write the event stream as a
-    * bucketed+sorted table (the clustering shuffle happens here, once),
-    * returning the table name. Split from [[foldBucketedTable]] so the
-    * regime the variant claims — one materialized clustering feeding
-    * ≥2 aligned consumers — is actually expressible (the fused form
-    * re-wrote the table per consumer, which is never a win by
-    * construction). Caller-visible for [[graft.ProbeBucketedFold]]'s
-    * A/B; the table is dropped at the harness's end-of-query release.
-    */
-  private[graft] def clusterToBucketedTable(
-      merged: Dataset[BalEvent]): String = {
-    val spark = merged.sparkSession
-    import spark.implicits._
-    require(spark.sessionState.conf.bucketingEnabled,
-      "GRAFT_BALANCES_BUCKETED needs spark.sql.sources.bucketing.enabled " +
-        "(a non-bucketed scan would split keys across partitions)")
-    val n = spark.sessionState.conf.numShufflePartitions
-    val tbl = "g_balev_" + java.lang.Long.toHexString(System.nanoTime())
-    // pre-repartition on the bucket keys with numPartitions == numBuckets
-    // (same Murmur3 hash both sides) → one file per bucket
-    merged
-      .repartition(n, $"address", $"propertyId")
-      .write
-      .bucketBy(n, "address", "propertyId")
-      .sortBy("address", "propertyId", "serial", "kind", "idx")
-      .mode("overwrite")
-      .saveAsTable(tbl)
-    graft.CacheScope.defer { () =>
-      try spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      catch { case _: Exception => () }
-    }
-    tbl
-  }
-
-  /** The variant's CONSUME half: fold one pre-clustered bucketed table
-    * — exchange-free scan, keys never split across partitions.
-    */
-  private[graft] def foldBucketedTable(spark: SparkSession,
-      tbl: String): Dataset[AddressBalance] = {
-    import spark.implicits._
-    spark.table(tbl).as[BalEvent]
-      // exchange-free (the bucketed scan already clusters by key);
-      // belt-and-braces ordering in case a bucket ever holds >1 file
-      .sortWithinPartitions($"address", $"propertyId", $"serial",
-        $"kind", $"idx")
-      .mapPartitions { it =>
-        new GroupRuns(it.map(e => ((e.address, e.propertyId), e)))
-          .map { case ((addr, pid), run) => foldRun(addr, pid, run) }
-      }
-  }
-
   /** Sequential fold of one (address, propertyId) event stream —
     * mirrors the reference's row-at-a-time updateBalance with the
     * freeze rules: freeze moves the CURRENT available to frozen
@@ -179,7 +110,7 @@ object Balances {
     * available, unfreeze returns the frozen pot to available. Single
     * pass over the serial-sorted run; O(1) state.
     */
-  private def foldRun(addr: String, pid: Long,
+  private[graft] def foldRun(addr: String, pid: Long,
       events: Iterator[BalEvent]): AddressBalance = {
     var available = 0L; var reserved = 0L; var accepted = 0L
     var frozen = 0L; var isFrozen = false; var last = 0L
