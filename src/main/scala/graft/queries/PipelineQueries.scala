@@ -764,16 +764,30 @@ object PipelineQueries {
   private[graft] def m4ForkUnion(s: SparkSession, dir: String,
       raw: DataFrame, forks: Seq[(String, Long)],
       sequential: Boolean): DataFrame =
-    if (!sequential)
+    if (!sequential) {
       // lazy: both serves materialize in the consumer's one job; their
       // internal persists stay registered for the harness's ordinary
-      // end-of-query release.
+      // end-of-query release. The STAMPED prefix is shared here too
+      // (same prefix-stability argument as the sequential arm below),
+      // but via the stamper's own scoped MEMORY_AND_DISK persist
+      // instead of a checkpoint: both fork plans read one
+      // InMemoryRelation, so the parse, the range exchange, the sort
+      // and the zipWithIndex count pass execute once, not per fork —
+      // only the cheap cached-batch rescan and the per-fork ledger
+      // derivation run twice. No checkpoint round-trip, no barrier:
+      // at bench scale that materialization is exactly what made the
+      // sequential schedule slower here (r11 A/B).
+      val sharedStamped = graft.operators.OmniPipeline.withSerials(
+        graft.operators.OmniPipeline.truncate(
+          parseTxs(s, raw), forks.map(_._2).max))
       forks
         .map { case (label, fork) =>
-          fullServe(s, dir, raw, fork, Some(fork))
+          serveStamped(s, dir,
+              sharedStamped.where(col("_1.block") <= fork), fork)
             .withColumn("fork_label", lit(label))
         }
         .reduce(_ unionByName _)
+    }
     else {
       val sc = s.sparkContext
       // SHARED FORK PREFIX (r12): everything from the raw legs' window
