@@ -796,21 +796,42 @@ object PipelineQueries {
       // (truncate(truncate(x, max), f) == truncate(x, f) for f <= max)
       // and stamping is prefix-stable under block truncation
       // (OmniPipeline.deriveStamped scaladoc). The old schedule
-      // re-derived all of it FROM RAW once per fork; materialize the
-      // STAMPED prefix at max(fork) once instead, registered for the
-      // harness's end-of-query release (NOT the per-fork releases
-      // below). The stamper's internal sort cache and the
-      // raw-construction shuffles are released/swept immediately — the
-      // snapshot reads its own blocks, so both are unreferenced by
-      // construction.
-      val mParse = graft.CacheScope.mark()
+      // re-derived all of it FROM RAW once per fork; share the STAMPED
+      // prefix at max(fork) instead and sweep the raw-construction
+      // shuffles immediately.
+      //
+      // The shared copy is the stamper's own scoped MEMORY_AND_DISK
+      // persist — NOT an additional snapshot: a checkpoint of the
+      // stamped stream is a SECOND full copy of the widest dataset in
+      // the query, transiently co-resident with the parse shuffles and
+      // the sort cache it is written from. At 1000× (150 M rows) that
+      // extra copy was the difference between fitting the one-box
+      // sweep disk and ENOSPC mid-snapshot (measured this round); the
+      // persist is the same executor-disk durability class a
+      // localCheckpoint has, so the copy buys nothing. zipWithIndex's
+      // eager count job materializes every cached partition EXCEPT the
+      // last (it only sizes partitions 0..n-2), so force the full pass
+      // before sweeping the parse shuffles the cache would otherwise
+      // need for a last-partition recompute.
+      //
+      // Under spark.graft.reliableCheckpoint the extra copy IS the
+      // point (survive executor loss between the fork serves): snapshot
+      // per the session policy, then release the sort cache.
       val shufParse = org.apache.spark.GraftShuffleSweep.snapshot(sc)
-      val sharedStamped = graft.GraftCheckpoint.snapshot(
-        graft.operators.OmniPipeline.withSerials(
-          graft.operators.OmniPipeline.truncate(
-            parseTxs(s, raw), forks.map(_._2).max)))
-      graft.CacheScope.releaseSince(mParse)
-      graft.CacheScope.register(sharedStamped)
+      val mParse = graft.CacheScope.mark()
+      val stamped0 = graft.operators.OmniPipeline.withSerials(
+        graft.operators.OmniPipeline.truncate(
+          parseTxs(s, raw), forks.map(_._2).max))
+      val sharedStamped =
+        if (graft.GraftCheckpoint.reliable(s)) {
+          val snap = graft.GraftCheckpoint.snapshot(stamped0)
+          graft.CacheScope.releaseSince(mParse)
+          graft.CacheScope.register(snap)
+          snap
+        } else {
+          stamped0.count()
+          stamped0
+        }
       org.apache.spark.GraftShuffleSweep.dropSince(sc, shufParse)
       forks
         .map { case (label, fork) =>
