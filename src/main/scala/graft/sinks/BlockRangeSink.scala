@@ -250,22 +250,46 @@ object BlockRangeSink {
     */
   final case class RangeStats(blockRange: Long, nFiles: Int, bytes: Long)
 
-  /** ONE recursive listing (`listFiles(root, true)` — a single
-    * paginated LIST on S3A, one NameNode walk on HDFS), grouped by the
-    * `blockRange=` parent — the previous per-partition `listStatus`
-    * loop was one RPC per partition, O(100k) round-trips at 100 TB.
-    * Only files sitting DIRECTLY in a root-level `blockRange=` dir
-    * count: in-flight commit attempts nest the partition dir under
-    * `_temporary/...`, and the depth check keeps them (and any
-    * `_graft_checkpoint/` snapshot files) invisible, as the
-    * top-level-dirs-only listing was by construction. A partition dir
-    * holding zero data files is NOT reported (the recursive listing
-    * never sees it) — same answer Spark's own file index gives, and no
-    * caller distinguishes an empty dir from an absent one.
+  /** Listing strategy is SCHEME-AWARE, because the costs invert
+    * between stores:
+    *
+    *  - Remote metadata stores (S3A, HDFS, any non-`file` scheme): ONE
+    *    recursive `listFiles(root, true)` — a single paginated LIST on
+    *    S3A, one NameNode walk on HDFS — where the previous
+    *    per-partition `listStatus` loop was one RPC per partition,
+    *    O(100k) round-trips at 100 TB.
+    *  - Local FS (`file`): the shallow per-partition `listStatus`
+    *    loop. Syscalls are ~µs, there is no round-trip to batch, and
+    *    Hadoop's generic recursive `listFiles` materializes a
+    *    `LocatedFileStatus` (an extra block-locations stat) per file
+    *    through a per-directory iterator chain — measured 25–28%
+    *    SLOWER on the sink-heavy gates (s8 8.3→6.2 s,
+    *    streaming_reorg_equiv 24.4→17.5 s, same-box interleaved
+    *    min-fold at sf0.1) when it replaced the loop unconditionally.
+    *
+    * Recursive arm semantics: only files sitting DIRECTLY in a
+    * root-level `blockRange=` dir count — in-flight commit attempts
+    * nest the partition dir under `_temporary/...`, and the depth
+    * check keeps them (and any `_graft_checkpoint/` snapshot files)
+    * invisible, as the top-level-dirs-only loop is by construction. A
+    * partition dir holding zero data files is NOT reported by the
+    * recursive arm (the listing never sees it) — same answer Spark's
+    * own file index gives, and no caller distinguishes an empty dir
+    * from an absent one.
     */
   def stats(path: String): Seq[RangeStats] = {
     val (fs, root) = fsFor(path)
     if (!fs.exists(root)) Seq.empty
+    else if (fs.getScheme == "file")
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("blockRange="))
+        .map { d =>
+          val files = fs.listStatus(d.getPath)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          RangeStats(d.getPath.getName.stripPrefix("blockRange=").toLong,
+            files.length, files.map(_.getLen).sum)
+        }.sortBy(_.blockRange)
     else {
       val qroot = fs.makeQualified(root)
       val acc = scala.collection.mutable.Map.empty[Long, (Int, Long)]
