@@ -35,6 +35,8 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // box-speed stamp #1: before any Spark work (see calibrationProbe)
+    val calStart = calibrationJson()
     // Warm the JVM/codegen/parquet-footer paths so the first timed query
     // doesn't absorb one-time session cost. The digest/conv/array-HOF
     // loop must clear the C2 compile threshold (~10k invocations), hence
@@ -155,8 +157,12 @@ object Bench {
     // silently ran the same codec). Reading the value back from the
     // live session makes any future A/B self-verifying.
     val codec = spark.conf.get("spark.io.compression.codec", "?")
+    // box-speed stamp #2: after the last timed run, so start-vs-end
+    // exposes intra-run box drift and cross-round diffs can pre-scale
+    val calEnd = calibrationJson()
+    val calibration = s"""{"start":$calStart,"end":$calEnd,"probe":"lcg4M_sort_xor_median3"}"""
     val detail =
-      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","action":"$action","codec":"$codec","queries":${mapJson(results)},"queries_min":${mapJson(mins)},"total_min":${fmt(totalMin)},"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","action":"$action","codec":"$codec","calibration":$calibration,"queries":${mapJson(results)},"queries_min":${mapJson(mins)},"total_min":${fmt(totalMin)},"sf":"$sfDir"}"""
     // Full per-query map: one stdout line (may be cut from the tail) and
     // a repo-local file the judge can read. The repo artifact is written
     // ONLY for the honest fullEval action (r9 ADVICE — a count/ordered
@@ -187,12 +193,69 @@ object Bench {
     // what lets a reader separate a single-run box outlier (min flat,
     // median up — round 11's 36.8 s m4 reading) from a real plan
     // regression (both up) WITHOUT a same-box re-run. Median map is
-    // trimmed to top-15 to hold the line under ~1.7 kB.
-    val top = results.sortBy(-_._2).take(15).sortBy(_._1)
+    // trimmed to top-12 to hold the line under ~1.8 kB now that the
+    // calibration stamp (~120 chars) rides along.
+    val top = results.sortBy(-_._2).take(12).sortBy(_._1)
     val minAll = mins.sortBy(_._1).map(m => fmt(m._2)).mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","action":"$action","queries":${mapJson(top)},"n_queries":${results.size},"n_failed":$nFailed,"top_only":15,"min_order":"name_asc","queries_min":$minAll,"total_min":${fmt(totalMin)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","action":"$action","calibration":$calibration,"queries":${mapJson(top)},"n_queries":${results.size},"n_failed":$nFailed,"top_only":12,"min_order":"name_asc","queries_min":$minAll,"total_min":${fmt(totalMin)},"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Box-speed calibration probe (r12 verdict ask #5). Round 12 burned
+    * hours attributing a +10.5% raw cross-round total to a 1.4-2x
+    * boot-to-boot box-speed swing — resolvable only by a same-box
+    * interleaved A/B. This probe makes the swing READABLE FROM THE
+    * ARTIFACT: a fixed, pinned-seed, no-IO workload (LCG fill of 4M
+    * longs → Arrays.sort → xor fold; pure compute + memory, the same
+    * resources the query medians contend on) timed at bench start and
+    * end. Two shapes: single-threaded (core speed) and 16-way parallel
+    * on independent arrays (the contention regime a 32-thread bench
+    * actually runs in). Per shape: one untimed warm-up then the median
+    * of 3. A reader — or tools/bench_diff.py --calibrate — divides two
+    * rounds' walls by their calibration ratio before calling anything
+    * a regression; start vs end additionally exposes an intra-run
+    * drift (thermal/noisy-neighbor) that a single stamp would hide.
+    */
+  private def calibrationProbe(threads: Int): Double = {
+    val n = 4 * 1000 * 1000
+    def one(seed0: Long): Long = {
+      val a = new Array[Long](n)
+      var seed = seed0
+      var i = 0
+      while (i < n) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        a(i) = seed
+        i += 1
+      }
+      java.util.Arrays.sort(a)
+      var x = 0L
+      i = 0
+      while (i < n) { x ^= a(i); i += 1 }
+      x
+    }
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      if (threads <= 1) {
+        // the result is folded into a require so the JIT can't DCE it
+        require(one(0x9E3779B97F4A7C15L) != 42L)
+      } else {
+        val pool = (0 until threads).map { t =>
+          val th = new Thread(() => require(one(0x9E3779B97F4A7C15L + t) != 42L))
+          th.start(); th
+        }
+        pool.foreach(_.join())
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm-up (C2 on the LCG/sort loops)
+    Seq.fill(3)(once()).sorted.apply(1)
+  }
+
+  private def calibrationJson(): String = {
+    val s1 = calibrationProbe(1)
+    val s16 = calibrationProbe(16)
+    f"""{"st":$s1%.3f,"par16":$s16%.3f}"""
   }
 
   /** The timed action: xxhash64 over EVERY output column, summed to one

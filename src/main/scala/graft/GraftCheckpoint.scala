@@ -52,6 +52,20 @@ object GraftCheckpoint {
 
   private val warnedDynamicAllocation = new AtomicBoolean(false)
 
+  /** `SparkContext.setCheckpointDir` is a GLOBAL sticky mutation, and
+    * `Dataset.checkpoint()` reads it back internally — two concurrent
+    * reliable snapshots with different `dirHint`s could otherwise land
+    * files under each other's directory (correctness would hold —
+    * [[free]] deletes by the RDD's own checkpoint path — but table-dir
+    * hygiene and the loud no-dir error would blur). The set→checkpoint
+    * pair therefore runs under this JVM-wide monitor, and the prior
+    * dir is RESTORED afterwards so the engine's per-site hints never
+    * leak into the caller's own later `rdd.checkpoint()` calls. (When
+    * no dir was set before the first reliable snapshot, the last hint
+    * stays — the public API has a setter but no clearer.)
+    */
+  private val checkpointDirLock = new Object
+
   /** Eagerly materialize `ds` per the session's checkpoint policy.
     * `dirHint` is the site's natural home for reliable snapshot files
     * (the sink passes its table's `_graft_checkpoint/`); sites with no
@@ -60,17 +74,20 @@ object GraftCheckpoint {
   def snapshot[T](ds: Dataset[T], dirHint: Option[String] = None)
       : Dataset[T] = {
     val spark = ds.sparkSession
-    if (reliable(spark)) {
+    if (reliable(spark)) checkpointDirLock.synchronized {
       val sc = spark.sparkContext
+      val prior = sc.getCheckpointDir
       spark.conf.getOption(DirKey).orElse(dirHint) match {
         case Some(dir) => sc.setCheckpointDir(dir)
-        case None if sc.getCheckpointDir.isDefined => // keep it
+        case None if prior.isDefined => // keep it
         case None => throw new IllegalStateException(
           s"$EnabledKey=true but no checkpoint directory: set $DirKey " +
             "(a cluster-visible path) or SparkContext.setCheckpointDir " +
             "before running snapshot-materializing operators.")
       }
-      ds.checkpoint()
+      try ds.checkpoint()
+      finally prior.filter(p => !sc.getCheckpointDir.contains(p))
+        .foreach(sc.setCheckpointDir)
     } else {
       if (spark.conf.get("spark.dynamicAllocation.enabled", "false")
             .toBoolean &&

@@ -272,15 +272,21 @@ object BlockRangeSink {
     * nest the partition dir under `_temporary/...`, and the depth
     * check keeps them (and any `_graft_checkpoint/` snapshot files)
     * invisible, as the top-level-dirs-only loop is by construction. A
-    * partition dir holding zero data files is NOT reported by the
-    * recursive arm (the listing never sees it) — same answer Spark's
-    * own file index gives, and no caller distinguishes an empty dir
-    * from an absent one.
+    * partition dir holding zero data files is NOT reported by EITHER
+    * arm (the recursive listing never sees it; the local loop filters
+    * it) — same answer Spark's own file index gives, and the result
+    * shape is scheme-independent for the same tree.
+    *
+    * The scheme comes from the QUALIFIED path's URI, not
+    * `fs.getScheme` — Hadoop's base `FileSystem` leaves `getScheme`
+    * throwing `UnsupportedOperationException`, so a third-party FS
+    * that never overrode it would crash here; the URI is always
+    * present.
     */
   def stats(path: String): Seq[RangeStats] = {
     val (fs, root) = fsFor(path)
     if (!fs.exists(root)) Seq.empty
-    else if (fs.getScheme == "file")
+    else if (fs.makeQualified(root).toUri.getScheme == "file")
       fs.listStatus(root).toSeq
         .filter(s => s.isDirectory &&
           s.getPath.getName.startsWith("blockRange="))
@@ -289,7 +295,9 @@ object BlockRangeSink {
             .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           RangeStats(d.getPath.getName.stripPrefix("blockRange=").toLong,
             files.length, files.map(_.getLen).sum)
-        }.sortBy(_.blockRange)
+        }
+        .filter(_.nFiles > 0)
+        .sortBy(_.blockRange)
     else {
       val qroot = fs.makeQualified(root)
       val acc = scala.collection.mutable.Map.empty[Long, (Int, Long)]

@@ -34,8 +34,24 @@ class MultiJvmSpec extends AnyFunSuite {
   test("reliable checkpoint survives a force-killed executor JVM " +
       "(local-cluster, GRAFT_MULTIJVM)") {
     gated()
-    val (rc, out) = run("tools/run_multijvm_demo.sh")
-    assert(rc == 0 && out.contains("MJVM_DEMO ok"),
+    val (rc, out) = run("tools/run_multijvm_demo.sh", "snapshot")
+    assert(rc == 0 && out.contains("MJVM_DEMO ok mode=snapshot"),
+      s"demo failed rc=$rc tail=${out.takeRight(1500)}")
+  }
+
+  test("stage retry re-reads checkpoint files when the executor dies " +
+      "MID-STAGE (local-cluster, GRAFT_MULTIJVM)") {
+    gated()
+    val (rc, out) = run("tools/run_multijvm_demo.sh", "midserve")
+    assert(rc == 0 && out.contains("MJVM_DEMO ok mode=midserve"),
+      s"demo failed rc=$rc tail=${out.takeRight(1500)}")
+  }
+
+  test("the real m4 sequential serve survives an executor killed " +
+      "mid-serve (local-cluster, GRAFT_MULTIJVM)") {
+    gated()
+    val (rc, out) = run("tools/run_multijvm_demo.sh", "m4")
+    assert(rc == 0 && out.contains("MJVM_DEMO ok mode=m4"),
       s"demo failed rc=$rc tail=${out.takeRight(1500)}")
   }
 

@@ -8,7 +8,13 @@ mirrors the round-8 A/B protocol: a regression is BOTH >1.3x AND
 >0.3 s absolute — below that is this box's documented cold-JIT /
 ambient variance, not a plan change.
 
-Usage: tools/bench_diff.py [BASELINE.json NEW.json] [ratio] [abs_s]
+When BOTH artifacts carry a `calibration` stamp (Bench's pinned-seed
+no-IO probe, r12 ask #5), the new side's times are pre-scaled by the
+box-speed ratio (baseline par16 / new par16, start/end averaged)
+before the bar is applied, so a boot-to-boot box swing no longer
+reads as a build change; pass --no-calibrate for raw walls.
+
+Usage: tools/bench_diff.py [--no-calibrate] [BASELINE.json NEW.json] [ratio] [abs_s]
 With no file args, diffs the CANONICAL per-round artifacts (r9 ask
 #8: one command, one artifact chain): baseline = the newest
 /root/repo/BENCH_LOCAL_r*.json (each round's end-of-round quiet-box
@@ -39,6 +45,18 @@ def load(path):
     return d
 
 
+def cal_speed(d):
+    """One number per artifact from the calibration stamp: the mean of
+    the start/end 16-way-parallel probe seconds (the contention regime
+    the query medians run in). None when the artifact predates the
+    stamp (<= r12) or carries a partial one."""
+    c = d.get("calibration")
+    try:
+        return (c["start"]["par16"] + c["end"]["par16"]) / 2.0
+    except (TypeError, KeyError):
+        return None
+
+
 def canonical_baseline():
     rounds = glob.glob("/root/repo/BENCH_LOCAL_r*.json")
     if not rounds:
@@ -53,6 +71,9 @@ def main():
     # interleaved A/B that attributes drift vs build cost).
     movers_n = None
     argv = sys.argv[1:]
+    no_calibrate = "--no-calibrate" in argv
+    if no_calibrate:
+        argv.remove("--no-calibrate")
     if "--movers" in argv:
         i = argv.index("--movers")
         movers_n = int(argv[i + 1])
@@ -79,6 +100,19 @@ def main():
         base, new = bd["queries_min"], nd["queries_min"]
     else:
         base, new = bd["queries"], nd["queries"]
+    # box-speed pre-scale: NEW walls are normalized onto the baseline
+    # box's speed before the bar applies. scale<1 means the new run's
+    # box was slower, so its raw walls are shrunk accordingly.
+    scale = 1.0
+    bs, ns = cal_speed(bd), cal_speed(nd)
+    if not no_calibrate and bs and ns:
+        scale = bs / ns  # probe SECONDS: baseline faster => bs<ns => <1
+        if movers_n is None:
+            print(f"calibration: baseline probe {bs:.3f}s, new {ns:.3f}s "
+                  f"-> new walls x{scale:.3f}")
+        new = {q: t * scale for q, t in new.items()}
+    elif movers_n is None and not no_calibrate:
+        print("calibration: stamp missing on one side, raw walls compared")
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
     abs_s = float(sys.argv[4]) if len(sys.argv) > 4 else 0.3
     shared = sorted(set(base) & set(new))
