@@ -7,10 +7,11 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 /** Snapshot policy for eager mid-query materialization (r11 verdict
   * ask #2).
   *
-  * The engine's snapshot sites — [[graft.sinks.BlockRangeSink.compact]]
-  * / `dropAbove` (decouple a partition overwrite from its own source
-  * files) and the m4 sequential fork schedule (bound peak scratch to
-  * one fork serve) — default to `localCheckpoint()`: blocks on
+  * The engine's snapshot sites — the m4 sequential fork schedule
+  * (bound peak scratch to one fork serve; the sink's compact/dropAbove
+  * stopped snapshotting in round 13, when their rewrite moved to the
+  * journaled pending-swap protocol, durable without any checkpoint) —
+  * default to `localCheckpoint()`: blocks on
   * executors, no distributed-FS round-trip, the right latency/cost
   * point for a benchmark or a static cluster. But local checkpoint
   * blocks DIE WITH THEIR EXECUTOR, and a localCheckpoint cannot

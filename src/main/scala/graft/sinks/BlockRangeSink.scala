@@ -25,14 +25,24 @@ import org.apache.spark.sql.functions._
   * path works against `file://`, HDFS, or an S3A table root; nothing
   * here assumes a local filesystem.
   *
+  * Crash consistency — every mutation is recoverable from ANY crash
+  * prefix: [[write]] by re-running the batch (dynamic overwrite
+  * rewrites every touched partition from source), [[compact]] and
+  * [[dropAbove]] through the journaled pending-swap protocol of
+  * [[rewritePartition]] (the new generation is durable parquet under
+  * the table's own `_graft_pending/` before anything is destroyed, and
+  * a `_graft_journal/` record makes the swap replayable). Recovery
+  * runs automatically under the writer lock at the start of every
+  * mutation ([[recoverTable]] exposes it standalone); CrashRecoverySpec
+  * model-checks every mutation prefix over object-store semantics.
+  *
   * Mutation concurrency — SINGLE WRITER (reference M10,
   * omniEngine.py:11-36: one lockfile around the whole engine):
-  * [[write]], [[compact]] and [[dropAbove]] all rewrite partitions via
-  * dynamic-partition overwrite, which is idempotent against a CRASH of
-  * the same logical operation but not against a CONCURRENT different
-  * one (a cron'd compactor racing a reorg rollback could resurrect a
-  * dropped partition from its snapshot). Each therefore takes a
-  * sink-level writer lock — create-no-overwrite of `_graft_writer.lock`
+  * [[write]], [[compact]] and [[dropAbove]] rewrite partitions, which
+  * is safe against a CRASH of the same logical operation but not
+  * against a CONCURRENT different one (a cron'd compactor racing a
+  * reorg rollback could resurrect a dropped partition). Each therefore
+  * takes a sink-level writer lock — create-no-overwrite of `_graft_writer.lock`
   * under the table root, plus an owner stamp (host/pid/nonce) that is
   * read back before the mutation runs, so even on stores where the
   * create itself is NOT atomic (S3A's HEAD-then-PUT, RawLocal's
@@ -203,6 +213,7 @@ object BlockRangeSink {
 
   def write(df: DataFrame, path: String, blockCol: String = "block"): Unit =
     withWriterLock(path) {
+      recoverLocked(path)
       df.withColumn("blockRange", expr(s"$blockCol div $RangeSize"))
         .write
         .partitionBy("blockRange")
@@ -324,37 +335,23 @@ object BlockRangeSink {
     * thousands of KB-sized files per partition — death by open() at
     * 100 TB. Rewrite each partition whose file count exceeds what its
     * byte size justifies down to ceil(bytes/targetBytes) files, via
-    * the same idempotent dynamic-partition overwrite as [[write]] (a
-    * crashed compaction re-runs safely). The data is snapshotted
-    * through a localCheckpoint first — Spark refuses to overwrite a
-    * path it is concurrently reading, and the checkpoint decouples the
-    * write from the source files. Returns the compacted ranges.
+    * the crash-recoverable [[rewritePartition]] protocol (the new
+    * generation is durable parquet under the table's own
+    * `_graft_pending/` BEFORE anything is destroyed, and a journaled
+    * swap makes any crash prefix recoverable — see [[recoverTable]]).
+    * Returns the compacted ranges.
     */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L << 20): Seq[Long] = withWriterLock(path) {
+    recoverLocked(path)
     val todo = stats(path).filter { s =>
       s.nFiles > math.max(1, math.ceil(s.bytes.toDouble / targetBytes).toInt)
     }
     todo.foreach { st =>
       val n = math.max(1, math.ceil(st.bytes.toDouble / targetBytes).toInt)
-      // snapshot policy (local vs executor-loss-safe reliable) is the
-      // session's — graft.GraftCheckpoint; reliable files land under
-      // the table's own `_graft_checkpoint/` (leading `_`: invisible
-      // to readers and to [[stats]]'s depth check)
-      val snap = graft.GraftCheckpoint.snapshot(
+      rewritePartition(path, st.blockRange,
         read(spark, path)
-          .where(col("blockRange").cast("long") === st.blockRange)
-          .coalesce(n),
-        Some(s"$path/_graft_checkpoint"))
-      try
-        snap.write
-          .partitionBy("blockRange")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode(SaveMode.Overwrite)
-          .parquet(path)
-      // free the snapshot immediately: blocks (local mode) or
-      // checkpoint files (reliable mode)
-      finally graft.GraftCheckpoint.free(snap)
+          .where(col("blockRange").cast("long") === st.blockRange), n)
     }
     todo.map(_.blockRange)
   }
@@ -383,30 +380,19 @@ object BlockRangeSink {
     */
   def dropAbove(spark: SparkSession, path: String, fork: Long,
       blockCol: String = "block"): Unit = withWriterLock(path) {
+    recoverLocked(path)
     val forkRange = fork / RangeSize
     val all = stats(path)
     // fork's own partition: rewrite only if it actually straddles the
     // fork (rows on both sides); all-orphaned → plain directory drop
-    if (all.exists(_.blockRange == forkRange)) {
+    all.find(_.blockRange == forkRange).foreach { forkStats =>
       val part = read(spark, path)
         .where(col("blockRange").cast("long") === forkRange)
       if (!part.where(col(blockCol) > fork).isEmpty) {
         val keep = part.where(col(blockCol) <= fork)
         if (keep.isEmpty) deletePartitionDir(path, forkRange)
-        else {
-          // snapshot decouples the overwrite from its own source files
-          // (Spark refuses to overwrite a path it is reading) — the
-          // same pattern and checkpoint policy as [[compact]]
-          val snap = graft.GraftCheckpoint.snapshot(
-            keep, Some(s"$path/_graft_checkpoint"))
-          try
-            snap.write
-              .partitionBy("blockRange")
-              .option("partitionOverwriteMode", "dynamic")
-              .mode(SaveMode.Overwrite)
-              .parquet(path)
-          finally graft.GraftCheckpoint.free(snap)
-        }
+        else rewritePartition(path, forkRange, keep,
+          math.max(1, forkStats.nFiles))
       }
     }
     all.filter(_.blockRange > forkRange)
@@ -425,5 +411,186 @@ object BlockRangeSink {
         s"dropAbove: could not delete $d — aborting rollback so the " +
           "orphaned range is not silently retained above the fork")
     }
+  }
+
+  // ---- crash-recoverable partition rewrite (pending + journal + swap) ----
+
+  /** Staged new-generation files for in-flight rewrites (leading `_`:
+    * invisible to Spark readers and to [[stats]]).
+    */
+  val PendingDirName = "_graft_pending"
+
+  /** One journal object per in-flight rewrite — the swap's intent
+    * record; its presence means "redo the swap", its deletion is the
+    * commit point.
+    */
+  val JournalDirName = "_graft_journal"
+
+  /** Rewrite partition `range` to hold exactly `rows` (which may read
+    * FROM that partition) in `nFiles` files, surviving a crash at ANY
+    * point of the sequence — the property the previous
+    * snapshot + dynamic-overwrite form lacked: its job commit deletes
+    * the live partition before renaming the staged one in, and the
+    * snapshot that could restore it was freed on the failure path, so
+    * a crash in that window lost the partition with nothing on disk to
+    * recover from. Protocol:
+    *
+    *  1. **Stage** — write `rows` as plain parquet under
+    *     `_graft_pending/<opId>/`: pure addition, the live partition
+    *     untouched; the new generation is durable on the TABLE'S OWN
+    *     store before anything is destroyed (executor-loss-safe by
+    *     construction — no checkpoint policy involved).
+    *  2. **Journal** — ONE object `_graft_journal/<opId>` (written via
+    *     temp + rename, so it is never visible truncated) recording
+    *     the range and every staged→target file-name pair.
+    *  3. **Swap** — delete the partition's data files not in the
+    *     target set, then rename each staged file to its recorded
+    *     target name. Every step is idempotent (delete-if-present,
+    *     skip-if-target-exists), so the swap can be REDONE from any
+    *     prefix.
+    *  4. **Clean** — delete the journal (commit point), then the
+    *     pending dir.
+    *
+    * A crash before 2 destroys nothing (orphan pending dirs are swept
+    * by [[recoverTable]]); a crash after 2 is completed by
+    * [[recoverTable]]'s replay, which every mutation runs first under
+    * the writer lock — and the replay itself can crash and re-run.
+    * Readers planning a scan inside the swap window can see a partial
+    * partition (same anomaly class as the previous dynamic-overwrite
+    * commit); the single-writer lock serializes mutators, not readers.
+    */
+  private def rewritePartition(path: String, range: Long,
+      rows: DataFrame, nFiles: Int): Unit = {
+    val (fs, root) = fsFor(path)
+    val opId = java.util.UUID.randomUUID().toString
+    val pending = new Path(root, s"$PendingDirName/$opId")
+    // 1. stage (blockRange rides in the dir name, never in the files —
+    // same layout write()'s partitionBy produces)
+    rows.drop("blockRange").coalesce(nFiles).write.parquet(pending.toString)
+    val staged = fs.listStatus(pending)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).sorted.toSeq
+    val pairs = staged.zipWithIndex.map { case (s, i) =>
+      (s, f"graft-$opId-p$i%05d.parquet")
+    }
+    // 2. journal (temp + rename: visible all-or-nothing on POSIX
+    // renames AND on object stores, where the PUT itself is atomic)
+    val journal = new Path(root, s"$JournalDirName/$opId")
+    val tmp = new Path(root, s"$JournalDirName/.$opId.tmp")
+    val content =
+      (Seq("v1", s"range=$range") ++
+        pairs.map { case (s, t) => s"file=$s\t$t" }).mkString("\n")
+    val out = fs.create(tmp, false)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, journal))
+      throw new java.io.IOException(
+        s"rewritePartition: could not publish journal $journal")
+    // 3 + 4. swap and clean — the same code recovery replays
+    replayJournal(fs, root, journal)
+  }
+
+  /** Redo the swap recorded in `journal` from whatever prefix of it
+    * already happened, then clean up. Idempotent; safe to re-run after
+    * its own crash.
+    */
+  private def replayJournal(fs: FileSystem, root: Path,
+      journal: Path): Unit = {
+    val opId = journal.getName
+    val content = {
+      val in = fs.open(journal)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    }
+    val lines = content.split("\n").toSeq
+    require(lines.headOption.contains("v1"),
+      s"replayJournal: unknown journal version in $journal: " +
+        lines.headOption.getOrElse("<empty>"))
+    val range = lines.collectFirst { case l if l.startsWith("range=") =>
+      l.stripPrefix("range=").toLong
+    }.getOrElse(throw new java.io.IOException(
+      s"replayJournal: no range record in $journal"))
+    val pairs = lines.collect { case l if l.startsWith("file=") =>
+      val Array(s, t) = l.stripPrefix("file=").split("\t", 2)
+      (s, t)
+    }
+    val partDir = new Path(root, s"blockRange=$range")
+    val targets = pairs.map(_._2).toSet
+    // 3a. drop the old generation (skip what an earlier attempt already
+    // dropped; never touch the new generation's target names)
+    if (fs.exists(partDir))
+      fs.listStatus(partDir)
+        .filter(s => s.isFile && !targets.contains(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, false))
+    else fs.mkdirs(partDir)
+    // 3b. move the new generation in (skip files already in place)
+    val pendingOp = new Path(root, s"$PendingDirName/$opId")
+    pairs.foreach { case (stagedName, targetName) =>
+      val target = new Path(partDir, targetName)
+      if (!fs.exists(target)) {
+        val stagedFile = new Path(pendingOp, stagedName)
+        if (!fs.exists(stagedFile))
+          throw new java.io.IOException(
+            s"replayJournal: $journal names $stagedFile but neither it " +
+              s"nor $target exists — the staged generation is gone; " +
+              "refusing to commit a partial partition")
+        if (!fs.rename(stagedFile, target))
+          throw new java.io.IOException(
+            s"replayJournal: could not move $stagedFile to $target")
+      }
+    }
+    // 4. commit point, then scratch cleanup (including the protocol
+    // dirs themselves once empty — mkdirs markers/parents outlive
+    // their children on object stores and POSIX alike)
+    fs.delete(journal, false)
+    fs.delete(pendingOp, true)
+    deleteIfEmpty(fs, journal.getParent)
+    deleteIfEmpty(fs, pendingOp.getParent)
+  }
+
+  private def deleteIfEmpty(fs: FileSystem, dir: Path): Unit =
+    try {
+      if (fs.exists(dir) && fs.listStatus(dir).isEmpty)
+        fs.delete(dir, false)
+    } catch { case _: java.io.FileNotFoundException => () }
+
+  /** Bring the table to a clean state after a crashed mutation: replay
+    * any journaled in-flight swaps (completing the crashed rewrite),
+    * then sweep scratch a crashed Spark job left behind — orphan
+    * `_graft_pending/` generations that never journaled (nothing
+    * destructive happened; the live partition is intact) and
+    * `.spark-staging-*`/`_temporary` dirs from a crashed [[write]]
+    * commit (whose recovery contract is re-running the batch: dynamic
+    * overwrite rewrites every touched partition from source). Runs
+    * automatically at the start of every locked mutation; exposed for
+    * operators who want recovery without a mutation (e.g. before a
+    * read-side audit after [[forceUnlock]]).
+    */
+  def recoverTable(path: String): Unit =
+    withWriterLock(path) { recoverLocked(path) }
+
+  private def recoverLocked(path: String): Unit = {
+    val (fs, root) = fsFor(path)
+    val journalRoot = new Path(root, JournalDirName)
+    if (fs.exists(journalRoot)) {
+      fs.listStatus(journalRoot).filter(_.isFile).foreach { j =>
+        if (j.getPath.getName.startsWith("."))
+          fs.delete(j.getPath, false) // unpublished temp — never armed
+        else replayJournal(fs, root, j.getPath)
+      }
+    }
+    deleteIfEmpty(fs, journalRoot)
+    val pendingRoot = new Path(root, PendingDirName)
+    if (fs.exists(pendingRoot)) fs.delete(pendingRoot, true)
+    fs.listStatus(root)
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith(".spark-staging-") ||
+          s.getPath.getName == "_temporary"))
+      .foreach(s => fs.delete(s.getPath, true))
   }
 }

@@ -1,0 +1,246 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+
+import graft.sinks.BlockRangeSink
+
+/** Crash-prefix model check of every sink mutation over object-store
+  * semantics (round 13): [[ObjectStoreFileSystem.injectOutageAfter]]
+  * kills the store at the k-th mutating request — the k-th itself is
+  * refused, everything after fails — leaving exactly the state a
+  * crashed writer leaves on a real object store. For EVERY sampled
+  * prefix k of every lifecycle operation, the documented recovery
+  * (reboot → `forceUnlock` if the lock was orphaned → re-run the
+  * operation, which replays any `_graft_journal` entry first) must
+  * converge to the bit-level state of the never-crashed run, with zero
+  * journal/pending/staging residue and no lock left behind.
+  *
+  * This is the property the r12 design could NOT give: compact /
+  * dropAbove went through dynamic-partition overwrite, whose job
+  * commit deletes the live partition before renaming the staged one
+  * in, while the snapshot that could restore it was freed on the
+  * failure path — a crash in that window lost the partition
+  * unrecoverably. The journaled pending-swap protocol
+  * (BlockRangeSink.rewritePartition) closes it; this spec is the
+  * evidence, including crashes DURING recovery itself.
+  *
+  * CI runs a strided slice of prefixes per operation; GRAFT_CRASH_SOAK=1
+  * sweeps every prefix (the full model check, run once per round).
+  */
+class CrashRecoverySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    conf.set("fs.objfs.impl", classOf[ObjectStoreFileSystem].getName)
+  }
+
+  private val soak = sys.env.get("GRAFT_CRASH_SOAK").contains("1")
+
+  /** Canonical table content: sorted (block, txid) rows. */
+  private def content(dir: String): Seq[(Long, String)] =
+    BlockRangeSink.read(spark, dir)
+      .select($"block", $"txid").as[(Long, String)]
+      .collect().sorted.toSeq
+
+  /** Scratch/journal residue that recovery must not leave behind. */
+  private def residue(dir: String): Seq[String] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n == BlockRangeSink.JournalDirName ||
+        n == BlockRangeSink.PendingDirName ||
+        n.startsWith(".spark-staging-") || n == "_temporary")
+  }
+
+  private def frame(blocks: Range, tag: String = "tx") =
+    blocks.map(b => (b.toLong, s"$tag$b")).toDF("block", "txid")
+
+  private case class MutOp(name: String,
+      setup: String => Unit, run: String => Unit)
+
+  private val ops = Seq(
+    MutOp("write-batch",
+      setup = dir => BlockRangeSink.write(frame(1 to 2500), dir),
+      // the retried-batch pattern: rewrites owned tail ranges 1 and 2
+      run = dir => BlockRangeSink.write(
+        frame(1800 to 2600).repartition(3, $"block"), dir)),
+    MutOp("compact",
+      setup = dir => {
+        BlockRangeSink.write(frame(1 to 2500), dir)
+        BlockRangeSink.write(
+          frame(2000 to 2600).repartition(6, $"block"), dir)
+      },
+      run = dir => BlockRangeSink.compact(spark, dir)),
+    MutOp("dropAbove-straddle",
+      setup = dir => BlockRangeSink.write(frame(1 to 3500), dir),
+      run = dir => BlockRangeSink.dropAbove(spark, dir, 1200L)),
+    MutOp("dropAbove-cleantail",
+      setup = dir => BlockRangeSink.write(frame(1 to 3500), dir),
+      run = dir => BlockRangeSink.dropAbove(spark, dir, 999L)))
+
+  /** Reboot the store and run the documented recovery: clear the
+    * orphaned lock if the crashed mutation could not release it, then
+    * re-run the operation (recovery replay runs inside it, under the
+    * fresh lock).
+    */
+  private def recoverAndRerun(op: MutOp, dir: String): Unit = {
+    ObjectStoreFileSystem.clearOutage()
+    if (BlockRangeSink.lockOwner(dir).nonEmpty) BlockRangeSink.forceUnlock(dir)
+    op.run(dir)
+  }
+
+  /** The sampled crash prefixes: every k under soak; a strided slice
+    * (first three, last two, ~6 across the middle) in CI.
+    */
+  private def prefixes(m: Long): Seq[Long] =
+    if (soak || m <= 12) 0L until m
+    else {
+      val stride = math.max(1L, m / 6)
+      (Seq(0L, 1L, 2L, m - 2, m - 1) ++ (3L until (m - 2) by stride))
+        .distinct.sorted
+    }
+
+  for (op <- ops)
+    test(s"${op.name}: every sampled crash prefix recovers to the " +
+        "never-crashed state (strided in CI; GRAFT_CRASH_SOAK=1 sweeps all)") {
+      val bucket = s"crash-${op.name}"
+      def dir = s"objfs://$bucket/facts"
+      ObjectStoreFileSystem.clearOutage()
+      ObjectStoreFileSystem.resetBucket(bucket)
+      op.setup(dir)
+      val state0 = ObjectStoreFileSystem.snapshotBucket(bucket)
+
+      // the never-crashed run: expected content + the op's mutation
+      // count M, which is the crash-prefix domain
+      ObjectStoreFileSystem.resetMutationCount()
+      op.run(dir)
+      val m = ObjectStoreFileSystem.mutationCount
+      val expected = content(dir)
+      assert(m > 0, s"${op.name}: no mutating requests measured")
+      assert(residue(dir).isEmpty && BlockRangeSink.lockOwner(dir).isEmpty)
+
+      var crashed = 0
+      try {
+        for (k <- prefixes(m)) {
+          ObjectStoreFileSystem.restoreBucket(bucket, state0)
+          ObjectStoreFileSystem.injectOutageAfter(k)
+          val died =
+            try { op.run(dir); false }
+            catch { case _: Throwable => true }
+          // parallel task scheduling can shift WHICH request is k-th,
+          // but at k < M-of-this-run the op must have died
+          if (died) crashed += 1
+          recoverAndRerun(op, dir)
+          assert(content(dir) == expected,
+            s"${op.name}: content diverged after crash at prefix $k")
+          assert(residue(dir).isEmpty,
+            s"${op.name}: residue after recovery from prefix $k: " +
+              residue(dir).mkString(", "))
+          assert(BlockRangeSink.lockOwner(dir).isEmpty,
+            s"${op.name}: lock left behind after recovery from prefix $k")
+        }
+      } finally ObjectStoreFileSystem.clearOutage()
+      assert(crashed > 0, s"${op.name}: no sampled prefix crashed the op " +
+        "— the injection never fired, the sweep was vacuous")
+      info(s"${op.name}: M=$m mutations, ${prefixes(m).size} prefixes, " +
+        s"$crashed crashed+recovered")
+    }
+
+  test("crash DURING recovery: a second store death mid-replay still " +
+      "converges on the next recovery (the journal swap is re-runnable " +
+      "from any prefix of itself)") {
+    val bucket = "crash-double"
+    def dir = s"objfs://$bucket/facts"
+    ObjectStoreFileSystem.clearOutage()
+    ObjectStoreFileSystem.resetBucket(bucket)
+    BlockRangeSink.write(frame(1 to 2500), dir)
+    BlockRangeSink.write(frame(2000 to 2600).repartition(6, $"block"), dir)
+    val state0 = ObjectStoreFileSystem.snapshotBucket(bucket)
+
+    ObjectStoreFileSystem.resetMutationCount()
+    BlockRangeSink.compact(spark, dir)
+    val m = ObjectStoreFileSystem.mutationCount
+    val expected = content(dir)
+
+    // crash the compact late (journal likely published), then crash the
+    // recovery run at several of ITS OWN prefixes before letting it win
+    for (k1 <- Seq(m - 3, m - 6, m / 2); k2 <- Seq(1L, 3L, 5L)) {
+      ObjectStoreFileSystem.restoreBucket(bucket, state0)
+      ObjectStoreFileSystem.injectOutageAfter(k1)
+      try { try BlockRangeSink.compact(spark, dir)
+        catch { case _: Throwable => () }
+      } finally ObjectStoreFileSystem.clearOutage()
+      if (BlockRangeSink.lockOwner(dir).nonEmpty)
+        BlockRangeSink.forceUnlock(dir)
+      ObjectStoreFileSystem.injectOutageAfter(k2)
+      try { try BlockRangeSink.compact(spark, dir)
+        catch { case _: Throwable => () }
+      } finally ObjectStoreFileSystem.clearOutage()
+      if (BlockRangeSink.lockOwner(dir).nonEmpty)
+        BlockRangeSink.forceUnlock(dir)
+      BlockRangeSink.compact(spark, dir)
+      assert(content(dir) == expected,
+        s"double crash (op@$k1, recovery@$k2) diverged")
+      assert(residue(dir).isEmpty && BlockRangeSink.lockOwner(dir).isEmpty)
+    }
+  }
+
+  test("white-box: after the journal publishes, the OLD generation is " +
+      "still live and the NEW one is durable pending parquet — the " +
+      "no-point-of-no-recovery property; recoverTable alone completes " +
+      "the swap") {
+    val bucket = "crash-whitebox"
+    def dir = s"objfs://$bucket/facts"
+    ObjectStoreFileSystem.clearOutage()
+    ObjectStoreFileSystem.resetBucket(bucket)
+    BlockRangeSink.write(frame(1 to 900).repartition(4, $"block"), dir)
+    val before = content(dir)
+    val fs = new Path(dir).getFileSystem(conf)
+
+    // find the journal-publish point by probing: crash one mutation at
+    // a time until the journal object exists, then stop there
+    var k = 0L
+    var journaled = false
+    val state0 = ObjectStoreFileSystem.snapshotBucket(bucket)
+    while (!journaled && k < 2000) {
+      ObjectStoreFileSystem.restoreBucket(bucket, state0)
+      ObjectStoreFileSystem.injectOutageAfter(k)
+      try BlockRangeSink.compact(spark, dir)
+      catch { case _: Throwable => () }
+      ObjectStoreFileSystem.clearOutage()
+      val jdir = new Path(dir, BlockRangeSink.JournalDirName)
+      journaled = fs.exists(jdir) && fs.listStatus(jdir)
+        .exists(s => s.isFile && !s.getPath.getName.startsWith("."))
+      if (!journaled) k += 1
+    }
+    assert(journaled, "never observed a published journal — protocol changed?")
+
+    // at this exact point: the live partition still answers with the
+    // OLD generation (nothing destroyed yet)...
+    assert(content(dir) == before,
+      "old generation was damaged before the journal published")
+    // ...and the new generation is durable parquet under _graft_pending
+    val pending = new Path(dir, BlockRangeSink.PendingDirName)
+    val stagedParquet = fs.listStatus(pending).flatMap(d =>
+      fs.listStatus(d.getPath).filter(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet")))
+    assert(stagedParquet.nonEmpty, "no durable staged generation found")
+    val stagedRows = spark.read.parquet(
+      stagedParquet.map(_.getPath.toString).toIndexedSeq: _*).count()
+    assert(stagedRows == 900L,
+      s"staged generation incomplete: $stagedRows rows")
+
+    // recovery WITHOUT re-running the op completes the swap
+    BlockRangeSink.forceUnlock(dir)
+    BlockRangeSink.recoverTable(dir)
+    assert(content(dir) == before)
+    assert(BlockRangeSink.stats(dir).forall(_.nFiles == 1),
+      "recoverTable did not complete the journaled compaction")
+    assert(residue(dir).isEmpty && BlockRangeSink.lockOwner(dir).isEmpty)
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import java.io.{FileNotFoundException, IOException, InputStream, OutputStream}
 import java.net.URI
 import java.util.concurrent.ConcurrentSkipListMap
-import java.util.concurrent.atomic.AtomicInteger
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
 
 import scala.jdk.CollectionConverters._
 
@@ -72,6 +72,27 @@ class ObjectStoreFileSystem extends FileSystem {
   override def getScheme: String = "objfs"
   override def getUri: URI = fsUri
 
+  /** Sticky injected outage (see [[ObjectStoreFileSystem.injectOutageAfter]]):
+    * every request — read or write — fails once the store has "died".
+    */
+  private def gate(): Unit =
+    if (outageTripped.get())
+      throw new IOException("objfs: injected store outage (request refused)")
+
+  /** Mutation gate: the k-th state-changing request trips the outage
+    * and itself FAILS (the state change does not apply) — modeling a
+    * store death at an exact prefix of the op's mutation sequence.
+    */
+  private def mutGate(): Unit = {
+    gate()
+    mutCount.incrementAndGet()
+    val budget = outageBudget.get()
+    if (budget >= 0 && outageBudget.decrementAndGet() < 0) {
+      outageTripped.set(true)
+      throw new IOException("objfs: injected store outage (mutation refused)")
+    }
+  }
+
   /** bucket/key — the flat-namespace identity of a path. */
   private def keyOf(p: Path): String = {
     val q = makeQualified(p)
@@ -87,6 +108,7 @@ class ObjectStoreFileSystem extends FileSystem {
   // ---- HEAD ----
 
   override def getFileStatus(f: Path): FileStatus = {
+    gate()
     val key = keyOf(f)
     Ops.head.incrementAndGet()
     val blob = store.get(key)
@@ -106,6 +128,7 @@ class ObjectStoreFileSystem extends FileSystem {
   // ---- GET ----
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    gate()
     val key = keyOf(f)
     val blob = store.get(key)
     if (blob == null || blob.isDirMarker)
@@ -119,6 +142,7 @@ class ObjectStoreFileSystem extends FileSystem {
   override def create(f: Path, permission: FsPermission,
       overwrite: Boolean, bufferSize: Int, replication: Short,
       blockSize: Long, progress: Progressable): FSDataOutputStream = {
+    gate()
     val key = keyOf(f)
     // the HEAD half of S3A's HEAD-then-PUT create; the PUT half is in
     // close() — the gap between them is the real double-grant window
@@ -134,6 +158,7 @@ class ObjectStoreFileSystem extends FileSystem {
       override def write(b: Array[Byte], off: Int, len: Int): Unit =
         buf.write(b, off, len)
       override def close(): Unit = {
+        mutGate()
         Ops.put.incrementAndGet()
         store.put(key, Blob(buf.toByteArray, now()))
       }
@@ -163,6 +188,7 @@ class ObjectStoreFileSystem extends FileSystem {
     if (srcKey == dstKey) return true
     val srcBlob = store.get(srcKey)
     if (srcBlob != null && !srcBlob.isDirMarker) {
+      mutGate()
       Ops.copy.incrementAndGet()
       store.put(dstKey, srcBlob.copy(mtime = now()))
       deleteKeys(Seq(srcKey))
@@ -170,10 +196,12 @@ class ObjectStoreFileSystem extends FileSystem {
     } else if (srcBlob != null || hasChildren(srcKey)) {
       val children = keysUnder(srcKey)
       children.foreach { k =>
+        mutGate()
         Ops.copy.incrementAndGet()
         store.put(dstKey + k.stripPrefix(srcKey), store.get(k))
       }
       if (srcBlob != null) {
+        mutGate()
         Ops.copy.incrementAndGet()
         store.put(dstKey, srcBlob)
       }
@@ -196,9 +224,12 @@ class ObjectStoreFileSystem extends FileSystem {
     }
   }
 
-  /** DELETE requests are batched 1000 keys each, like DeleteObjects. */
+  /** DELETE requests are batched 1000 keys each, like DeleteObjects.
+    * The mutation gate fires per KEY (each removal is a distinct state
+    * change a crash can land between), the billing counter per batch.
+    */
   private def deleteKeys(keys: Seq[String]): Unit = {
-    keys.foreach(store.remove)
+    keys.foreach { k => mutGate(); store.remove(k) }
     if (keys.nonEmpty)
       Ops.delete.addAndGet((keys.size + 999) / 1000)
   }
@@ -215,6 +246,7 @@ class ObjectStoreFileSystem extends FileSystem {
     * dirs, paginated by total entries returned.
     */
   override def listStatus(f: Path): Array[FileStatus] = {
+    gate()
     val key = keyOf(f)
     val st = getFileStatus(f) // throws FileNotFoundException per contract
     if (!st.isDirectory) return Array(st)
@@ -245,6 +277,7 @@ class ObjectStoreFileSystem extends FileSystem {
     */
   override def listFiles(f: Path, recursive: Boolean)
       : org.apache.hadoop.fs.RemoteIterator[LocatedFileStatus] = {
+    gate()
     if (!recursive) return super.listFiles(f, false)
     val key = keyOf(f)
     val from = if (key.isEmpty) "" else key + "/"
@@ -286,6 +319,7 @@ class ObjectStoreFileSystem extends FileSystem {
       if (existing != null && !existing.isDirMarker)
         throw new IOException(s"objfs: $k exists and is not a directory")
       if (existing == null) {
+        mutGate()
         Ops.put.incrementAndGet()
         store.put(k, Blob(Array.emptyByteArray, now(), isDirMarker = true))
       }
@@ -328,6 +362,60 @@ object ObjectStoreFileSystem {
     def snapshot: Map[String, Int] = Map("HEAD" -> head.get,
       "GET" -> get.get, "PUT" -> put.get, "COPY" -> copy.get,
       "LIST" -> list.get, "DELETE" -> delete.get)
+  }
+
+  // ---- injected store death (crash-prefix model checking) ----
+  //
+  // `injectOutageAfter(k)` arms a STICKY outage: the (k+1)-th mutating
+  // request (object PUT, per-key COPY, per-key DELETE, dir-marker PUT)
+  // fails WITHOUT applying, and every request after it — reads included
+  // — fails too, until `clearOutage()`. That is a store death at an
+  // exact prefix of an operation's mutation sequence: the surviving
+  // state is precisely the first k mutations, which is what a crashed
+  // writer leaves behind on a real object store. `mutationCount` (total
+  // mutating requests of a clean run) gives a spec the prefix domain to
+  // enumerate.
+
+  private val outageBudget = new java.util.concurrent.atomic.AtomicLong(-1L)
+  private val outageTripped = new AtomicBoolean(false)
+  private val mutCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Arm: the next `k` mutating requests succeed, the one after fails
+    * and kills the store (sticky, all request types).
+    */
+  def injectOutageAfter(k: Long): Unit = {
+    outageTripped.set(false)
+    outageBudget.set(k)
+  }
+
+  /** Disarm + revive: subsequent requests succeed again ("reboot"). */
+  def clearOutage(): Unit = {
+    outageBudget.set(-1L)
+    outageTripped.set(false)
+  }
+
+  def outageActive: Boolean = outageTripped.get()
+
+  /** Total mutating requests observed (counts whether or not an outage
+    * is armed) — reset to measure one operation's mutation-prefix
+    * domain.
+    */
+  def mutationCount: Long = mutCount.get()
+  def resetMutationCount(): Unit = mutCount.set(0L)
+
+  /** Copy of every (key, blob) under `bucket` — with immutable blobs,
+    * a point-in-time state a spec can [[restoreBucket]] from.
+    */
+  def snapshotBucket(bucket: String): Map[String, Blob] =
+    store.entrySet().iterator().asScala
+      .filter(e => e.getKey == bucket || e.getKey.startsWith(bucket + "/"))
+      .map(e => e.getKey -> e.getValue)
+      .toMap
+
+  /** Reset `bucket` to a [[snapshotBucket]] state (test-scope rewind). */
+  def restoreBucket(bucket: String, snap: Map[String, Blob]): Unit = {
+    resetBucket(bucket)
+    snap.foreach { case (k, v) => store.put(k, v) }
   }
 
   /** Drop every object in `bucket` (test isolation). */

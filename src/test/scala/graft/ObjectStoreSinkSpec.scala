@@ -12,7 +12,8 @@ import graft.streaming.IncrementalIngest
   * PUT-on-close visibility, paginated LIST, copy+delete rename,
   * HEAD-then-PUT non-atomic create. Also pins the REQUEST BILL:
   * `stats()` is 1 HEAD + O(pages) LIST flat in partition count, and a
-  * clean tail drop is metadata-only (zero PUT/COPY).
+  * clean tail drop is metadata-only (zero PUT/COPY). Crash-prefix
+  * recovery of these operations is [[CrashRecoverySpec]]'s subject.
   */
 class ObjectStoreSinkSpec extends SparkTestBase {
   import spark.implicits._
@@ -176,41 +177,35 @@ class ObjectStoreSinkSpec extends SparkTestBase {
       s"tail drop wrote data objects: $bDrop")
   }
 
-  test("reliable checkpoint snapshots land under the table's OWN " +
-      "_graft_checkpoint on the object store, stay invisible to stats, " +
-      "and are freed on release") {
+  test("a rewrite stages durable parquet on the table's OWN store and " +
+      "leaves zero pending/journal residue — with or without the " +
+      "reliable-checkpoint session flag (the sink's rewrite protocol " +
+      "no longer depends on any checkpoint policy)") {
     assume(spark.sparkContext.getCheckpointDir.isEmpty)
-    val dir = table("reliable")
+    val dir = table("rewrite")
+    // the reliable flag must be a no-op for sink mutations now: the
+    // staged generation is parquet under _graft_pending, durable on the
+    // table's store by construction (executor-loss-safe without any
+    // checkpoint round-trip)
     val s = spark.newSession()
     s.conf.set(GraftCheckpoint.EnabledKey, "true")
-    try {
-      // fragment one range, then compact in reliable mode: the snapshot
-      // must round-trip THROUGH the object store
-      val sImp = s.implicits; import sImp._
-      BlockRangeSink.write(
-        (1L to 900L).map(b => (b, s"tx$b")).toDF("block", "txid")
-          .repartition(4, $"block"), dir)
-      val compacted = BlockRangeSink.compact(s, dir)
-      assert(compacted == Seq(0L))
-      assert(BlockRangeSink.stats(dir) ==
-        BlockRangeSink.stats(dir).filter(_.nFiles == 1))
-      assert(BlockRangeSink.read(s, dir).count() == 900L)
-      // no rdd-* checkpoint residue under the table
-      val fs = new Path(dir).getFileSystem(conf)
-      val ck = new Path(dir, "_graft_checkpoint")
-      val leaked = if (!fs.exists(ck)) Nil else {
-        val it = fs.listFiles(ck, true)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (it.hasNext) buf += it.next().getPath.toString
-        buf.toSeq
-      }
-      assert(leaked.isEmpty, s"reliable snapshot leaked on objfs: $leaked")
-    } finally {
-      // restore the shared context's empty checkpoint dir (see
-      // GraftCheckpointSpec.clearCheckpointDir for why reflection)
-      val sc = spark.sparkContext
-      sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[_]])
-        .invoke(sc, None)
-    }
+    val sImp = s.implicits; import sImp._
+    BlockRangeSink.write(
+      (1L to 900L).map(b => (b, s"tx$b")).toDF("block", "txid")
+        .repartition(4, $"block"), dir)
+    val compacted = BlockRangeSink.compact(s, dir)
+    assert(compacted == Seq(0L))
+    assert(BlockRangeSink.stats(dir) ==
+      BlockRangeSink.stats(dir).filter(_.nFiles == 1))
+    assert(BlockRangeSink.read(s, dir).count() == 900L)
+    // no scratch left under the table: no pending generation, no
+    // journal, no checkpoint files, no staging dirs
+    val fs = new Path(dir).getFileSystem(conf)
+    val leaked = fs.listStatus(new Path(dir)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("blockRange=") && n != "_SUCCESS")
+    assert(leaked.isEmpty, s"rewrite leaked scratch on objfs: $leaked")
+    // and the sink never touched the context's global checkpoint dir
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
   }
 }
