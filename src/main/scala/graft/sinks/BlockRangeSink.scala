@@ -463,30 +463,83 @@ object BlockRangeSink {
       rows: DataFrame, nFiles: Int): Unit = {
     val (fs, root) = fsFor(path)
     val opId = java.util.UUID.randomUUID().toString
-    val pending = new Path(root, s"$PendingDirName/$opId")
     // 1. stage (blockRange rides in the dir name, never in the files —
     // same layout write()'s partitionBy produces)
-    rows.drop("blockRange").coalesce(nFiles).write.parquet(pending.toString)
-    val staged = fs.listStatus(pending)
+    rows.drop("blockRange").coalesce(nFiles).write
+      .parquet(new Path(root, s"$PendingDirName/$opId").toString)
+    // 2-4. journal, swap, clean
+    commitStaged(fs, root, range, opId, opId)
+  }
+
+  /** The composite ingest-cycle write: rewrite every block range
+    * `batch` touches to hold exactly `batch`'s rows for that range, in
+    * ASCENDING range order, each through the journaled swap — the form
+    * whose crash recovery COMPOSES with watermark-gated admission
+    * ([[graft.streaming.IncrementalIngest.ingestFrame]]).
+    *
+    * Why [[write]]'s dynamic overwrite is not enough for the ingest
+    * cycle: its crash contract is "re-run the SAME batch", but an
+    * ingest re-run is NOT the same batch — the admit filter moves with
+    * the watermark. A crashed overwrite commit can delete an old tail
+    * partition before its replacement lands, LOWERING the watermark;
+    * the re-run then re-admits from a feed that no longer carries the
+    * deleted historical rows, and they are gone (CrashRecoverySpec's
+    * ingest-cycle sweep caught exactly this at one prefix — round 13).
+    *
+    * The fix is ordering + journaling: the batch is staged ONCE
+    * (partitioned by range, pure addition), then each range commits
+    * lowest-first via its own journal. At any crash point, every range
+    * at-or-below the watermark is fully committed (a mid-swap range is
+    * completed by recovery's journal replay before the watermark is
+    * next read), so the re-run's admit filter re-admits exactly the
+    * uncommitted remainder — convergent from any prefix.
+    */
+  def upsertRanges(batch: DataFrame, path: String,
+      blockCol: String = "block"): Unit = withWriterLock(path) {
+    recoverLocked(path)
+    val (fs, root) = fsFor(path)
+    val opId = java.util.UUID.randomUUID().toString
+    val stageDir = new Path(root, s"$PendingDirName/$opId")
+    batch.withColumn("blockRange", expr(s"$blockCol div $RangeSize"))
+      .write.partitionBy("blockRange").parquet(stageDir.toString)
+    val ranges = fs.listStatus(stageDir)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("blockRange="))
+      .map(_.getPath.getName.stripPrefix("blockRange=").toLong)
+      .sorted
+    ranges.foreach { r =>
+      commitStaged(fs, root, r, s"$opId-r$r", s"$opId/blockRange=$r")
+    }
+    fs.delete(stageDir, true) // shell (_SUCCESS) — ranges already moved
+    deleteIfEmpty(fs, stageDir.getParent)
+  }
+
+  /** Steps 2-4 of the rewrite protocol over an already-staged
+    * generation at `_graft_pending/<pendingRel>`: publish the journal
+    * (temp + rename: visible all-or-nothing on POSIX renames AND on
+    * object stores, where the PUT itself is atomic), then swap + clean
+    * via the same [[replayJournal]] recovery replays.
+    */
+  private def commitStaged(fs: FileSystem, root: Path, range: Long,
+      journalName: String, pendingRel: String): Unit = {
+    val pendingOp = new Path(root, s"$PendingDirName/$pendingRel")
+    val staged = fs.listStatus(pendingOp)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.getName).sorted.toSeq
     val pairs = staged.zipWithIndex.map { case (s, i) =>
-      (s, f"graft-$opId-p$i%05d.parquet")
+      (s, f"graft-$journalName-p$i%05d.parquet")
     }
-    // 2. journal (temp + rename: visible all-or-nothing on POSIX
-    // renames AND on object stores, where the PUT itself is atomic)
-    val journal = new Path(root, s"$JournalDirName/$opId")
-    val tmp = new Path(root, s"$JournalDirName/.$opId.tmp")
+    val journal = new Path(root, s"$JournalDirName/$journalName")
+    val tmp = new Path(root, s"$JournalDirName/.$journalName.tmp")
     val content =
-      (Seq("v1", s"range=$range") ++
+      (Seq("v1", s"range=$range", s"pending=$pendingRel") ++
         pairs.map { case (s, t) => s"file=$s\t$t" }).mkString("\n")
     val out = fs.create(tmp, false)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!fs.rename(tmp, journal))
       throw new java.io.IOException(
-        s"rewritePartition: could not publish journal $journal")
-    // 3 + 4. swap and clean — the same code recovery replays
+        s"commitStaged: could not publish journal $journal")
     replayJournal(fs, root, journal)
   }
 
@@ -496,7 +549,6 @@ object BlockRangeSink {
     */
   private def replayJournal(fs: FileSystem, root: Path,
       journal: Path): Unit = {
-    val opId = journal.getName
     val content = {
       val in = fs.open(journal)
       try {
@@ -519,6 +571,12 @@ object BlockRangeSink {
       val Array(s, t) = l.stripPrefix("file=").split("\t", 2)
       (s, t)
     }
+    // staged-generation dir, relative to _graft_pending/ (a per-range
+    // subdir of a shared multi-range staging for upsertRanges; the
+    // journal name itself for single-range rewrites)
+    val pendingRel = lines.collectFirst {
+      case l if l.startsWith("pending=") => l.stripPrefix("pending=")
+    }.getOrElse(journal.getName)
     val partDir = new Path(root, s"blockRange=$range")
     val targets = pairs.map(_._2).toSet
     // 3a. drop the old generation (skip what an earlier attempt already
@@ -529,7 +587,7 @@ object BlockRangeSink {
         .foreach(s => fs.delete(s.getPath, false))
     else fs.mkdirs(partDir)
     // 3b. move the new generation in (skip files already in place)
-    val pendingOp = new Path(root, s"$PendingDirName/$opId")
+    val pendingOp = new Path(root, s"$PendingDirName/$pendingRel")
     pairs.foreach { case (stagedName, targetName) =>
       val target = new Path(partDir, targetName)
       if (!fs.exists(target)) {

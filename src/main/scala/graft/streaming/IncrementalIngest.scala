@@ -12,9 +12,12 @@ import graft.sinks.BlockRangeSink
   *
   * Tail-partition rewrite: the sink's unit of atomicity is a block
   * RANGE partition, so an incremental batch rewrites each affected
-  * range as (existing facts in range ≤ watermark) ∪ (new facts) — a
-  * re-run of a failed batch is idempotent, and untouched ranges are
-  * never rewritten (at 100 TB the tail is a vanishing fraction).
+  * range as (existing facts in range ≤ watermark) ∪ (new facts), via
+  * the sink's ascending journaled per-range commit
+  * ([[BlockRangeSink.upsertRanges]]) — a crashed cycle re-runs
+  * convergently from ANY prefix (the watermark only advances past
+  * fully-committed ranges), and untouched ranges are never rewritten
+  * (at 100 TB the tail is a vanishing fraction).
   */
 object IncrementalIngest {
 
@@ -47,6 +50,13 @@ object IncrementalIngest {
     */
   def ingestFrame(spark: SparkSession, raw: org.apache.spark.sql.DataFrame,
       factsDir: String): Long = {
+    // recover FIRST: the watermark probe and the existing-rows read
+    // below plan against file listings, and a crashed predecessor's
+    // outstanding journal would otherwise be replayed mid-cycle (inside
+    // upsertRanges' lock), invalidating those listings under the
+    // running merge query. Single-writer contract: nothing mutates the
+    // table between this recovery and the upsert's own locked one.
+    BlockRangeSink.recoverTable(factsDir)
     val wm = BlockRangeSink.watermark(spark, factsDir)
     val fresh = raw.filter(col("block") > wm)
     val n = fresh.count()
@@ -64,7 +74,12 @@ object IncrementalIngest {
               "left_semi")
           existingInAffected.unionByName(fresh)
         }
-      BlockRangeSink.write(batch, factsDir)
+      // NOT BlockRangeSink.write: the overwrite's crash contract is
+      // "re-run the same batch", and an ingest re-run is not the same
+      // batch (the admit filter above moves with the watermark). The
+      // ascending journaled per-range commit makes THIS cycle
+      // crash-convergent — see BlockRangeSink.upsertRanges.
+      BlockRangeSink.upsertRanges(batch, factsDir)
     }
     n
   }

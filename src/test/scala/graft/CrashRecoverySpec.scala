@@ -81,7 +81,22 @@ class CrashRecoverySpec extends SparkTestBase {
       run = dir => BlockRangeSink.dropAbove(spark, dir, 1200L)),
     MutOp("dropAbove-cleantail",
       setup = dir => BlockRangeSink.write(frame(1 to 3500), dir),
-      run = dir => BlockRangeSink.dropAbove(spark, dir, 999L)))
+      run = dir => BlockRangeSink.dropAbove(spark, dir, 999L)),
+    // the COMPOSITE: watermark-gated admission + tail-range merge. Its
+    // re-run is NOT "the same batch" — the admit filter moves with the
+    // watermark — so sink-level write idempotence alone does not make
+    // this cycle crash-convergent (round 13 found exactly that: a
+    // crashed overwrite commit that had deleted the old tail partition
+    // left a LOWER watermark and a feed that no longer carried the
+    // deleted rows — blocks lost; hence ingest now runs through the
+    // journaled ascending per-range rewrite)
+    MutOp("ingest-cycle",
+      setup = dir => BlockRangeSink.write(frame(1 to 2500), dir),
+      run = dir => {
+        graft.streaming.IncrementalIngest.ingestFrame(
+          spark, frame(2400 to 3200, "alt"), dir)
+        ()
+      }))
 
   /** Reboot the store and run the documented recovery: clear the
     * orphaned lock if the crashed mutation could not release it, then
