@@ -252,7 +252,7 @@ object Bench {
     Seq.fill(3)(once()).sorted.apply(1)
   }
 
-  private def calibrationJson(): String = {
+  private[graft] def calibrationJson(): String = {
     val s1 = calibrationProbe(1)
     val s16 = calibrationProbe(16)
     f"""{"st":$s1%.3f,"par16":$s16%.3f}"""

@@ -27,9 +27,47 @@ object OmniPipeline {
   /** Deterministic serial assignment (W1): total order by
     * (block, positioninblock) via range partition + zipWithIndex —
     * never a single-partition window (SURVEY §7.4.6).
+    *
+    * Unlike the generic [[stamp]] (which pins the PRE-zip sorted rows
+    * and leaves the stamped stream as an object RDD), this pins the
+    * STAMPED stream itself as a columnar cache. [[deriveStamped]] reads
+    * its input 6+ times (decode, DEx fold, MetaDEx, freezes, registry,
+    * tx dimension); with the cache on the object-RDD's *input*, every
+    * one of those passes re-paid the full RawTx object decode (5 Seq
+    * columns + 8 decimals per row) inside its RDD prefix. Caching the
+    * stamped rows instead lets the sparse consumers prune columnar —
+    * `where(_1.type_int …)` before DeserializeToObject — so only the
+    * decode pass still deserializes every row (measured r13: see
+    * OPTIMIZATION_r13.md). Peak scratch is UNCHANGED: the
+    * stamped cache replaces the sorted cache (same rows + one long),
+    * and the range-exchange shuffle files exist either way — the extra
+    * cost is one re-sort on the zipWithIndex count pass, paid once.
     */
-  def withSerials(txs: Dataset[RawTx]): Dataset[(RawTx, Long)] =
-    stamp(txs, col("block"), col("positioninblock"), col("txid"))
+  def withSerials(txs: Dataset[RawTx]): Dataset[(RawTx, Long)] = {
+    val spark = txs.sparkSession
+    implicit val enc: Encoder[(RawTx, Long)] =
+      Encoders.tuple(txs.encoder, Encoders.scalaLong)
+    val order = Seq(col("block"), col("positioninblock"), col("txid"))
+    // no persist on the sorted rows: the zipWithIndex count job and the
+    // cache-fill pass share one RDD lineage, so the range exchange
+    // executes once and both passes read the same shuffle output (the
+    // second pass re-sorts — total key, deterministic).
+    val sorted = txs
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+    val stamped = spark.createDataset(
+        sorted.rdd.zipWithIndex.map { case (tx, i) => (tx, i + 1L) })
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheScope.defer(() => stamped.unpersist(blocking = false))
+    // Eager fill: deriveStamped's first action runs 4+ consumer
+    // branches concurrently, and concurrent tasks on a COLD cache
+    // partition each compute it (first writer wins) — the whole
+    // parse+sort+zip prefix re-ran per branch. One count serializes
+    // the fill, the same role zipWithIndex's count job played for the
+    // old sorted-side cache.
+    stamped.count()
+    stamped
+  }
 
   /** Generic serial stamper — stamp the NARROWEST dataset available
     * (e.g. key tuples) and join/map the wide rows afterwards: the
@@ -86,18 +124,33 @@ object OmniPipeline {
     val baseLedger = stamped.flatMap { case (tx, s) =>
       LedgerDecoder.decode(tx, s)
     }
-    val dex = DexLifecycle.derive(stamped, tipBlock)
+    // Columnar pre-filters feeding the sparse consumers: each predicate
+    // is implied by the consumer's own typed filter (kept, so semantics
+    // cannot drift), but on the columnar stamped cache from
+    // [[withSerials]] it prunes in whole-stage codegen BEFORE
+    // DeserializeToObject builds a RawTx per row — the decode pass
+    // above is the only consumer that still deserializes every row.
+    // (On an object-backed stamped input — spec fixtures — the filter
+    // costs one serializer pass of the few referenced fields instead;
+    // correctness identical.)
+    val dex = DexLifecycle.derive(
+      stamped.where(col("_1.type_int").isin(20, 22, -22)), tipBlock)
     val dexLedger = dex.flatMap(_.ledger)
-    val (trades, metaLedger) = MetaDexOps.derive(stamped)
+    val (trades, metaLedger) = MetaDexOps.derive(
+      stamped.where(col("_1.type_int").isin(21, 25) && col("_1.valid")))
 
     val ledger = baseLedger.union(dexLedger).union(metaLedger)
-    val freezes = stamped.flatMap { case (tx, s) =>
+    val freezes = stamped
+      .where(col("_1.type_int").isin(185, 186))
+      .flatMap { case (tx, s) =>
       LedgerDecoder.freezeEvents(tx, s)
     }
     val balances = Balances.deriveWithFreezes(ledger, freezes)
     val offers = dex.flatMap(_.offers)
     val accepts = dex.flatMap(_.accepts)
-    val properties = PropertyRegistry.derive(stamped)
+    val properties = PropertyRegistry.derive(stamped.where(
+      col("_1.valid") && col("_1.type_int")
+        .isin(PropertyRegistry.LifecycleTypes.toSeq: _*)))
 
     Derived(stamped, ledger, balances, offers, accepts, trades, properties)
   }
@@ -167,7 +220,8 @@ object FeatureActivations {
   */
 object PropertyRegistry {
 
-  private val LifecycleTypes = Set(50, 51, -51, 53, 54, 55, 56, 70, 73, 74)
+  private[operators] val LifecycleTypes =
+    Set(50, 51, -51, 53, 54, 55, 56, 70, 73, 74)
 
   /** PropertyHistory (sql.py:1546,1591-1599: every insert/update writes
     * a history row): the lifecycle tx stream per property — a pure

@@ -1229,8 +1229,11 @@ object PipelineQueries {
     // per-address MatchedTrades count (the taker is the kept listing's
     // sender): trades → serial-stamped tx dimension on txHash, counted,
     // joined into the served view.
-    val txAddr = d.txs.map { case (tx, _) => (tx.txid, tx.sendingaddress) }
-      .toDF("txHash", "taddr")
+    // columnar projection, not a typed map: on the stamped cache
+    // (withSerials) this is a 2-column scan with no per-row RawTx
+    // deserialization; the typed form decoded every field to read two
+    val txAddr = d.txs.select($"_1.txid".as("txHash"),
+      $"_1.sendingaddress".as("taddr"))
     val nTrades = d.trades.toDF().select($"txHash")
       .join(txAddr, Seq("txHash"))
       .groupBy($"taddr".as("address"))
