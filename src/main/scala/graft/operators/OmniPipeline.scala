@@ -40,33 +40,51 @@ object OmniPipeline {
     * decode pass still deserializes every row (measured r13: see
     * OPTIMIZATION_r13.md). Peak scratch is UNCHANGED: the
     * stamped cache replaces the sorted cache (same rows + one long),
-    * and the range-exchange shuffle files exist either way — the extra
-    * cost is one re-sort on the zipWithIndex count pass, paid once.
+    * and the range-exchange shuffle files exist either way. The dense
+    * serial is assigned by partition-offset arithmetic instead of
+    * zipWithIndex, so the whole stamp costs ONE object pass (the cache
+    * fill), not zipWithIndex's count job + data pass.
     */
   def withSerials(txs: Dataset[RawTx]): Dataset[(RawTx, Long)] = {
     val spark = txs.sparkSession
-    implicit val enc: Encoder[(RawTx, Long)] =
+    implicit val enc2: Encoder[(RawTx, Long)] =
       Encoders.tuple(txs.encoder, Encoders.scalaLong)
+    implicit val enc3: Encoder[(RawTx, Int, Long)] =
+      Encoders.tuple(txs.encoder, Encoders.scalaInt, Encoders.scalaLong)
     val order = Seq(col("block"), col("positioninblock"), col("txid"))
-    // no persist on the sorted rows: the zipWithIndex count job and the
-    // cache-fill pass share one RDD lineage, so the range exchange
-    // executes once and both passes read the same shuffle output (the
-    // second pass re-sorts — total key, deterministic).
     val sorted = txs
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
-    val stamped = spark.createDataset(
-        sorted.rdd.zipWithIndex.map { case (tx, i) => (tx, i + 1L) })
+    // ONE object pass total (zipWithIndex would be two: its eager count
+    // job + the data pass): tag each row with (partition id, 1-based
+    // local index), cache THAT columnar, and read the per-partition
+    // counts off the cache — the counts aggregate doubles as the eager
+    // cache fill, so concurrent consumer branches can never race the
+    // parse+sort prefix on cold partitions (first-writer-wins would
+    // recompute it per branch).
+    val indexed = spark.createDataset(
+        sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+          var i = 0L
+          it.map { tx => i += 1L; (tx, pid, i) }
+        })
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.CacheScope.defer(() => stamped.unpersist(blocking = false))
-    // Eager fill: deriveStamped's first action runs 4+ consumer
-    // branches concurrently, and concurrent tasks on a COLD cache
-    // partition each compute it (first writer wins) — the whole
-    // parse+sort+zip prefix re-ran per branch. One count serializes
-    // the fill, the same role zipWithIndex's count job played for the
-    // old sorted-side cache.
-    stamped.count()
-    stamped
+    graft.CacheScope.defer(() => indexed.unpersist(blocking = false))
+    val counts = indexed.groupBy(col("_2")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val nParts = indexed.rdd.getNumPartitions
+    // dense global serial = rows in all earlier partitions + local idx
+    // (range partitions are key-ordered, so this IS the zipWithIndex
+    // assignment); offsets ride as a literal array → plain codegen
+    // arithmetic on the cached rows, no join, no second pass.
+    val offsets = new Array[Long](nParts)
+    var acc = 0L
+    (0 until nParts).foreach { p =>
+      offsets(p) = acc; acc += counts.getOrElse(p, 0L)
+    }
+    indexed.select(col("_1"),
+        (col("_3") + element_at(typedLit(offsets.toSeq), col("_2") + 1))
+          .as("_2"))
+      .as[(RawTx, Long)]
   }
 
   /** Generic serial stamper — stamp the NARROWEST dataset available

@@ -61,6 +61,28 @@ class OmniPipelineSpec extends SparkTestBase {
       stamped.map(t => (t._1.block, t._1.positioninblock)).sortBy(identity).toSeq)
   }
 
+  test("withSerials == sort-then-enumerate on a shuffled 1000-tx stream " +
+      "(partition-offset stamping, ties + empty partitions)") {
+    // many rows per (block, pos) tie group, arrival order scrambled,
+    // more shuffle partitions than the session default so some range
+    // partitions are empty — the regime where a per-partition offset
+    // bug (off-by-one, missing-empty-partition, wrong cumulative order)
+    // would misnumber whole ranges while staying dense.
+    val txs = scala.util.Random.shuffle((1 to 1000).map { i =>
+      simpleSend(A, B, BigDecimal(i), block = i % 37, pos = i % 5)
+        .copy(txid = f"t$i%04d")
+    }.toList)
+    val stamped = OmniPipeline
+      .withSerials(spark.createDataset(txs).repartition(13))
+      .collect()
+    val expected = txs
+      .sortBy(t => (t.block, t.positioninblock, t.txid))
+      .zipWithIndex.map { case (t, i) => t.txid -> (i + 1L) }.toMap
+    assert(stamped.length == 1000)
+    stamped.foreach { case (t, s) => assert(expected(t.txid) == s,
+      s"txid ${t.txid} stamped $s, expected ${expected(t.txid)}") }
+  }
+
   test("freeze: snapshot, receive-while-frozen redirect, unfreeze (sql.py:1408-1414)") {
     val payload31 = "00000000" + "0000001f"
     val txs = Seq(
