@@ -192,13 +192,16 @@ object Bench {
     // fit with room to spare. Min-per-query in the driver artifact is
     // what lets a reader separate a single-run box outlier (min flat,
     // median up — round 11's 36.8 s m4 reading) from a real plan
-    // regression (both up) WITHOUT a same-box re-run. Median map is
-    // trimmed to top-12 to hold the line under ~1.8 kB now that the
-    // calibration stamp (~120 chars) rides along.
-    val top = results.sortBy(-_._2).take(12).sortBy(_._1)
+    // regression (both up) WITHOUT a same-box re-run. Median map covers
+    // the top-15: the r13 trim to top-12 made the driver's per-query
+    // comparison read 3 previously-reported queries as
+    // "dropped_from_bench" (r13 verdict #2) — top-15 restores the full
+    // reported set, and the measured final line (~1.63 kB with the
+    // calibration stamp) still clears the ~2 kB stdout tail window.
+    val top = results.sortBy(-_._2).take(15).sortBy(_._1)
     val minAll = mins.sortBy(_._1).map(m => fmt(m._2)).mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","action":"$action","calibration":$calibration,"queries":${mapJson(top)},"n_queries":${results.size},"n_failed":$nFailed,"top_only":12,"min_order":"name_asc","queries_min":$minAll,"total_min":${fmt(totalMin)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","action":"$action","calibration":$calibration,"queries":${mapJson(top)},"n_queries":${results.size},"n_failed":$nFailed,"top_only":15,"min_order":"name_asc","queries_min":$minAll,"total_min":${fmt(totalMin)},"sf":"$sfDir"}""")
     spark.stop()
   }
 

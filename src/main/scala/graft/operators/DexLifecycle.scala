@@ -37,6 +37,15 @@ object DexLifecycle {
     * equivalent because expiry effects only need to precede the next
     * event that could observe them).
     */
+  /** The DEx lifecycle's tx types (20 offer, 22 accept, -22 BTC
+    * payment). Shared constant: [[graft.operators.OmniPipeline]]'s
+    * columnar pre-filter over the stamped cache MUST select a superset
+    * of what [[derive]]'s typed filter keeps, so both reference this
+    * one definition — adding a type here widens both in lockstep
+    * (r13 ADVICE: the duplicated literals could silently drop rows).
+    */
+  val EventTypes: Set[Int] = Set(20, 22, -22)
+
   /** Fold key of one DEx event: 22 accepts and -22 purchases are sent
     * BY the buyer TO the seller — the key is always the seller's
     * address plus the property being sold.
@@ -58,8 +67,7 @@ object DexLifecycle {
     val spark = txs.sparkSession
     import spark.implicits._
     val keyed = txs
-      .filter(t => t._1.type_int == 20 || t._1.type_int == 22 ||
-        t._1.type_int == -22)
+      .filter(t => EventTypes.contains(t._1.type_int))
       // One BTC payment can settle accepts held by SEVERAL sellers: the
       // reference iterates purchases[] and each purchase names its own
       // referenceaddress/propertyid (sql.py:1966-2030). Explode -22 into

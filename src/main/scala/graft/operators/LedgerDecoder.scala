@@ -159,6 +159,14 @@ object LedgerDecoder {
     }
   }
 
+  /** Freeze/unfreeze tx types (185/186) — the only types
+    * [[freezeEvents]] emits for. Shared constant:
+    * [[graft.operators.OmniPipeline]]'s columnar pre-filter over the
+    * stamped cache MUST select a superset of these, so both reference
+    * this one definition.
+    */
+  val FreezeTypes: Set[Int] = Set(185, 186)
+
   /** Freeze markers for the Balances sequencer (types 185/186). */
   def freezeEvents(tx: RawTx, serial: Long): Seq[FreezeEvent] =
     if (!tx.valid) Nil

@@ -18,6 +18,14 @@ import graft.model.Amounts.toBase
   */
 object MetaDexOps {
 
+  /** MetaDEx tx types (21 listing, 25 listing+embedded matches). Shared
+    * constant: [[graft.operators.OmniPipeline]]'s columnar pre-filter
+    * over the stamped cache MUST select a superset of what the typed
+    * filters here keep (both [[derive]] and [[remaining]] additionally
+    * require `valid`), so all three reference this one definition.
+    */
+  val TradeTypes: Set[Int] = Set(21, 25)
+
   /** Returns (MatchedTrades, settlement ledger entries). Settlement per
     * deduped match (4 rows, sql.py:2078-2101): sold amount moves
     * taker-reserved→maker-available, received amount moves
@@ -48,7 +56,7 @@ object MetaDexOps {
     import spark.implicits._
 
     val metaTxs = txs.filter(t =>
-      (t._1.type_int == 21 || t._1.type_int == 25) && t._1.valid)
+      TradeTypes.contains(t._1.type_int) && t._1.valid)
 
     val serialByTxid = metaTxs
       .map { case (tx, s) => (tx.txid, s) }
@@ -105,7 +113,7 @@ object MetaDexOps {
     val spark = txs.sparkSession
     import spark.implicits._
     val metaTxs = txs.filter(t =>
-      (t._1.type_int == 21 || t._1.type_int == 25) && t._1.valid)
+      TradeTypes.contains(t._1.type_int) && t._1.valid)
     val offers = metaTxs.map { case (tx, s) =>
       (s, tx.txid, tx.sendingaddress, tx.propertyid, tx.propertyiddesired,
         toBase(tx.amount, tx.divisible))

@@ -44,6 +44,27 @@ object OmniPipeline {
     * serial is assigned by partition-offset arithmetic instead of
     * zipWithIndex, so the whole stamp costs ONE object pass (the cache
     * fill), not zipWithIndex's count job + data pass.
+    *
+    * Scale headroom of the offsets literal: it is one Long per range
+    * partition, carried as a `typedLit` array that codegen references
+    * as a plain object (no constant-pool entry per element), so at
+    * O(10⁴–10⁵) partitions of a 100 TB stream it is 80 B–800 kB of
+    * plan payload — metadata-sized, like the `collect()`ed counts that
+    * produce it. `OmniPipelineSpec` pins correctness at an adversarial
+    * 4096-partition stamp over a small stream (most partitions empty).
+    *
+    * Cache-stability assumption (r13 ADVICE): the offsets are
+    * collected from the persisted `indexed` cache, and the stamping
+    * expression later re-reads that SAME cache — both jobs must see
+    * one materialization. A cached partition lost and recomputed
+    * between the two jobs re-runs the deterministic
+    * parse→range-exchange→sort→local-index lineage: repartitionByRange
+    * samples with deterministic seeds and the sort key
+    * (block, positioninblock, txid) is a total order, so the replayed
+    * partition reproduces the same rows in the same order and the
+    * collected counts stay valid. The spec's equivalence gate
+    * additionally asserts max(serial) == count as a post-hoc
+    * consistency check.
     */
   def withSerials(txs: Dataset[RawTx]): Dataset[(RawTx, Long)] = {
     val spark = txs.sparkSession
@@ -150,16 +171,20 @@ object OmniPipeline {
     // above is the only consumer that still deserializes every row.
     // (On an object-backed stamped input — spec fixtures — the filter
     // costs one serializer pass of the few referenced fields instead;
-    // correctness identical.)
+    // correctness identical.) Each type set is the consumer's OWN
+    // published constant, so a consumer that widens its types widens
+    // this pre-filter in lockstep (r13 ADVICE).
     val dex = DexLifecycle.derive(
-      stamped.where(col("_1.type_int").isin(20, 22, -22)), tipBlock)
+      stamped.where(col("_1.type_int")
+        .isin(DexLifecycle.EventTypes.toSeq: _*)), tipBlock)
     val dexLedger = dex.flatMap(_.ledger)
     val (trades, metaLedger) = MetaDexOps.derive(
-      stamped.where(col("_1.type_int").isin(21, 25) && col("_1.valid")))
+      stamped.where(col("_1.type_int")
+        .isin(MetaDexOps.TradeTypes.toSeq: _*) && col("_1.valid")))
 
     val ledger = baseLedger.union(dexLedger).union(metaLedger)
     val freezes = stamped
-      .where(col("_1.type_int").isin(185, 186))
+      .where(col("_1.type_int").isin(LedgerDecoder.FreezeTypes.toSeq: _*))
       .flatMap { case (tx, s) =>
       LedgerDecoder.freezeEvents(tx, s)
     }

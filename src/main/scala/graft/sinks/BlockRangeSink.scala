@@ -60,6 +60,21 @@ object BlockRangeSink {
 
   val LockName = "_graft_writer.lock"
 
+  /** Dev measurement instrument (GRAFT_SINK_TIMING=1): wall-clock per
+    * protocol segment to stderr, so the journal protocol's cost can be
+    * itemized per ingest cycle (guide §1). Zero-cost when unset; never
+    * part of any timed artifact (stderr only).
+    */
+  private val timing = sys.env.get("GRAFT_SINK_TIMING").contains("1")
+  private[graft] def timed[T](label: String)(body: => T): T =
+    if (!timing) body
+    else {
+      val t0 = System.nanoTime()
+      try body
+      finally System.err.println(
+        f"[sink-timing] $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+
   /** Hadoop conf for FS resolution: the active session's (carries
     * cluster credentials/filesystem settings) when one exists, else a
     * default conf (specs constructing paths before the session is up).
@@ -238,21 +253,29 @@ object BlockRangeSink {
     */
   def watermark(spark: SparkSession, path: String,
       blockCol: String = "block"): Long = {
-    val ranges = stats(path).filter(_.nFiles > 0)
+    val ranges = timed("watermark.stats")(stats(path).filter(_.nFiles > 0))
     if (ranges.isEmpty) -1L
-    else tailMaxProbe(spark, path, ranges.map(_.blockRange).max, blockCol)
-      .head().getLong(0)
+    else timed("watermark.probe")(
+      tailMaxProbe(spark, path, ranges.map(_.blockRange).max, blockCol)
+        .head().getLong(0))
   }
 
   /** The pruned in-partition max query — factored out so the plan spec
     * can assert (via the scan's own numFiles metric) that it reads
     * exactly the max partition's files and nothing else.
+    *
+    * Reads the max partition's DIRECTORY directly instead of the table
+    * root with a partition filter: the root read builds a file index
+    * over EVERY partition (one directory listing per partition before
+    * pruning even starts — at 100 TB / ~100k partitions that is the
+    * whole-table listing the watermark probe exists to avoid, and at
+    * bench SF it was ~0.3 s of the ~0.4 s probe wall). The direct read
+    * lists one directory; the scan's numFiles is the max partition's
+    * file count by construction.
     */
   private[graft] def tailMaxProbe(spark: SparkSession, path: String,
       maxRange: Long, blockCol: String): DataFrame =
-    // partition values are re-inferred on read (int), hence the casts
-    read(spark, path)
-      .where(col("blockRange").cast("long") === maxRange)
+    spark.read.parquet(s"$path/blockRange=$maxRange")
       .agg(max(col(blockCol).cast("long")))
 
   /** Per-partition file statistics — metadata-only (directory listing,
@@ -347,11 +370,43 @@ object BlockRangeSink {
     val todo = stats(path).filter { s =>
       s.nFiles > math.max(1, math.ceil(s.bytes.toDouble / targetBytes).toInt)
     }
-    todo.foreach { st =>
-      val n = math.max(1, math.ceil(st.bytes.toDouble / targetBytes).toInt)
-      rewritePartition(path, st.blockRange,
-        read(spark, path)
-          .where(col("blockRange").cast("long") === st.blockRange), n)
+    if (todo.nonEmpty) {
+      // ONE staging job + ONE journaled swap for every partition being
+      // compacted (the old form ran one read-coalesce-write Spark job
+      // and one journal cycle PER partition — each job re-listing the
+      // whole table's file index; ~10 jobs × ~150 ms on the s8 gate).
+      // Per-range file sizing survives batching: each row gets a
+      // deterministic in-range slot (row-hash mod that range's target
+      // file count) and the write is hash-clustered on (range, slot),
+      // so a range ends up with AT MOST its target count of files —
+      // slot collisions inside one task merge files (the writer starts
+      // a new file per partition VALUE), never split them, so a
+      // re-run's stats threshold cannot re-flag a compacted range.
+      val (fs, root) = fsFor(path)
+      val opId = java.util.UUID.randomUUID().toString
+      val stageDir = new Path(root, s"$PendingDirName/$opId")
+      val nOf = todo.map { st =>
+        st.blockRange ->
+          math.max(1, math.ceil(st.bytes.toDouble / targetBytes).toInt)
+      }.toMap
+      val totalSlots = nOf.values.sum
+      val nMapCol = map(nOf.toSeq.flatMap { case (r, n) =>
+        Seq(lit(r), lit(n.toLong)) }: _*)
+      val rows = read(spark, path)
+        .where(col("blockRange").cast("long").isin(todo.map(_.blockRange): _*))
+      val dataCols = rows.columns.filter(_ != "blockRange").map(col)
+      rows
+        .withColumn("__slot", pmod(xxhash64(struct(dataCols.toSeq: _*)),
+          element_at(nMapCol, col("blockRange").cast("long"))))
+        .repartition(totalSlots, col("blockRange"), col("__slot"))
+        .drop("__slot")
+        .write.partitionBy("blockRange").parquet(stageDir.toString)
+      val staged = fs.listStatus(stageDir)
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("blockRange="))
+        .map(_.getPath.getName.stripPrefix("blockRange=").toLong)
+        .sorted.toSeq
+      commitStagedRanges(fs, root, opId, staged)
     }
     todo.map(_.blockRange)
   }
@@ -496,22 +551,42 @@ object BlockRangeSink {
     */
   def upsertRanges(batch: DataFrame, path: String,
       blockCol: String = "block"): Unit = withWriterLock(path) {
-    recoverLocked(path)
+    timed("upsert.recover")(recoverLocked(path))
     val (fs, root) = fsFor(path)
     val opId = java.util.UUID.randomUUID().toString
     val stageDir = new Path(root, s"$PendingDirName/$opId")
-    batch.withColumn("blockRange", expr(s"$blockCol div $RangeSize"))
-      .write.partitionBy("blockRange").parquet(stageDir.toString)
+    // Cluster the staged generation by range before the partitioned
+    // write (guide §6: file sizing / REBALANCE-before-write; §2.2:
+    // fewer map outputs). Unclustered, every task writes one file into
+    // every range it holds — T×R files per cycle whose per-file
+    // create/rename/footer costs tax the commit and whose accumulation
+    // poisons every later read of the table. The AQE REBALANCE hint
+    // (not repartitionByRange, whose range sampling re-computes the
+    // whole merge batch — measured +2.7 s/gate at bench SF; and not a
+    // plain hash repartition, which would serialize a hot range
+    // through one task at 100 TB): one exchange, partition sizes
+    // decided from the shuffle's own map statistics — small ranges
+    // coalesce, oversized ranges split across tasks.
+    timed("upsert.stageWrite")(
+      batch.withColumn("blockRange", expr(s"$blockCol div $RangeSize"))
+        .hint("rebalance", col("blockRange"))
+        .write.partitionBy("blockRange").parquet(stageDir.toString))
     val ranges = fs.listStatus(stageDir)
       .filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("blockRange="))
       .map(_.getPath.getName.stripPrefix("blockRange=").toLong)
-      .sorted
-    ranges.foreach { r =>
-      commitStaged(fs, root, r, s"$opId-r$r", s"$opId/blockRange=$r")
-    }
-    fs.delete(stageDir, true) // shell (_SUCCESS) — ranges already moved
-    deleteIfEmpty(fs, stageDir.getParent)
+      .sorted.toSeq
+    // ONE journal for the whole batch (one temp+rename publish, one
+    // replay) instead of one per range: the commit point is atomic for
+    // the batch, so recovery completes EVERY staged range before any
+    // watermark read — strictly stronger than the old ascending
+    // per-range commit (whose invariant was "every range at-or-below
+    // the watermark is fully committed") at ~1/R of the FS-metadata
+    // bill. Measured r14: the per-range loop cost ~0.8 s per ~150-range
+    // cycle on the streaming twins.
+    timed(s"upsert.commit(${ranges.length} ranges)")(
+      if (ranges.nonEmpty) commitStagedRanges(fs, root, opId, ranges)
+      else { fs.delete(stageDir, true); deleteIfEmpty(fs, stageDir.getParent) })
   }
 
   /** Steps 2-4 of the rewrite protocol over an already-staged
@@ -529,11 +604,41 @@ object BlockRangeSink {
     val pairs = staged.zipWithIndex.map { case (s, i) =>
       (s, f"graft-$journalName-p$i%05d.parquet")
     }
+    publishAndReplay(fs, root, journalName,
+      (Seq("v1", s"range=$range", s"pending=$pendingRel") ++
+        pairs.map { case (s, t) => s"file=$s\t$t" }).mkString("\n"))
+  }
+
+  /** Steps 2-4 for a MULTI-RANGE staged generation
+    * (`_graft_pending/<stageRel>/blockRange=<r>/…`, the layout a
+    * partitioned staging write produces): ONE journal records every
+    * range's staged→target file pairs, so the whole batch has one
+    * publish (temp + rename), one replay, and one commit point —
+    * against the old one-journal-per-range loop this removes ~10 FS
+    * metadata round-trips per range, and recovery completes EVERY
+    * staged range before any watermark read (the crash-convergence
+    * invariant the ascending per-range order existed to provide).
+    */
+  private def commitStagedRanges(fs: FileSystem, root: Path,
+      stageRel: String, ranges: Seq[Long]): Unit = {
+    val stageDir = new Path(root, s"$PendingDirName/$stageRel")
+    val sections = ranges.map { r =>
+      val staged = fs.listStatus(new Path(stageDir, s"blockRange=$r"))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName).sorted.toSeq
+      val pairs = staged.zipWithIndex.map { case (s, i) =>
+        (s"blockRange=$r/$s", f"graft-$stageRel-r$r-p$i%05d.parquet")
+      }
+      Seq(s"range=$r") ++ pairs.map { case (s, t) => s"file=$s\t$t" }
+    }
+    publishAndReplay(fs, root, stageRel,
+      (Seq("v2", s"pending=$stageRel") ++ sections.flatten).mkString("\n"))
+  }
+
+  private def publishAndReplay(fs: FileSystem, root: Path,
+      journalName: String, content: String): Unit = {
     val journal = new Path(root, s"$JournalDirName/$journalName")
     val tmp = new Path(root, s"$JournalDirName/.$journalName.tmp")
-    val content =
-      (Seq("v1", s"range=$range", s"pending=$pendingRel") ++
-        pairs.map { case (s, t) => s"file=$s\t$t" }).mkString("\n")
     val out = fs.create(tmp, false)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -545,7 +650,9 @@ object BlockRangeSink {
 
   /** Redo the swap recorded in `journal` from whatever prefix of it
     * already happened, then clean up. Idempotent; safe to re-run after
-    * its own crash.
+    * its own crash. Two formats: `v1` (one range; staged names relative
+    * to the recorded pending dir) and `v2` (many ranges; staged names
+    * relative to the shared staging root, `blockRange=<r>/` included).
     */
   private def replayJournal(fs: FileSystem, root: Path,
       journal: Path): Unit = {
@@ -560,23 +667,48 @@ object BlockRangeSink {
       } finally in.close()
     }
     val lines = content.split("\n").toSeq
-    require(lines.headOption.contains("v1"),
-      s"replayJournal: unknown journal version in $journal: " +
-        lines.headOption.getOrElse("<empty>"))
-    val range = lines.collectFirst { case l if l.startsWith("range=") =>
-      l.stripPrefix("range=").toLong
-    }.getOrElse(throw new java.io.IOException(
-      s"replayJournal: no range record in $journal"))
-    val pairs = lines.collect { case l if l.startsWith("file=") =>
-      val Array(s, t) = l.stripPrefix("file=").split("\t", 2)
-      (s, t)
-    }
-    // staged-generation dir, relative to _graft_pending/ (a per-range
-    // subdir of a shared multi-range staging for upsertRanges; the
-    // journal name itself for single-range rewrites)
+    val version = lines.headOption.getOrElse("<empty>")
+    require(version == "v1" || version == "v2",
+      s"replayJournal: unknown journal version in $journal: $version")
     val pendingRel = lines.collectFirst {
       case l if l.startsWith("pending=") => l.stripPrefix("pending=")
     }.getOrElse(journal.getName)
+    val pendingOp = new Path(root, s"$PendingDirName/$pendingRel")
+    // group file= lines under their range= section (v1 has exactly one)
+    var range = -1L
+    val sections =
+      scala.collection.mutable.LinkedHashMap.empty[Long, Seq[(String, String)]]
+    lines.foreach {
+      case l if l.startsWith("range=") =>
+        range = l.stripPrefix("range=").toLong
+        sections.getOrElseUpdate(range, Seq.empty)
+      case l if l.startsWith("file=") =>
+        require(range >= 0, s"replayJournal: file record before any " +
+          s"range record in $journal")
+        val Array(s, t) = l.stripPrefix("file=").split("\t", 2)
+        sections.update(range, sections(range) :+ (s, t))
+      case _ => ()
+    }
+    if (sections.isEmpty) throw new java.io.IOException(
+      s"replayJournal: no range record in $journal")
+    sections.foreach { case (r, pairs) =>
+      swapRange(fs, root, pendingOp, journal, r, pairs)
+    }
+    // 4. commit point, then scratch cleanup (including the protocol
+    // dirs themselves once empty — mkdirs markers/parents outlive
+    // their children on object stores and POSIX alike)
+    fs.delete(journal, false)
+    fs.delete(pendingOp, true)
+    deleteIfEmpty(fs, journal.getParent)
+    deleteIfEmpty(fs, pendingOp.getParent)
+  }
+
+  /** One range's swap: drop the old generation, move the staged files
+    * in. Every step idempotent (delete-if-present, skip-if-target-
+    * exists), so any prefix can be redone.
+    */
+  private def swapRange(fs: FileSystem, root: Path, pendingOp: Path,
+      journal: Path, range: Long, pairs: Seq[(String, String)]): Unit = {
     val partDir = new Path(root, s"blockRange=$range")
     val targets = pairs.map(_._2).toSet
     // 3a. drop the old generation (skip what an earlier attempt already
@@ -587,7 +719,6 @@ object BlockRangeSink {
         .foreach(s => fs.delete(s.getPath, false))
     else fs.mkdirs(partDir)
     // 3b. move the new generation in (skip files already in place)
-    val pendingOp = new Path(root, s"$PendingDirName/$pendingRel")
     pairs.foreach { case (stagedName, targetName) =>
       val target = new Path(partDir, targetName)
       if (!fs.exists(target)) {
@@ -602,13 +733,6 @@ object BlockRangeSink {
             s"replayJournal: could not move $stagedFile to $target")
       }
     }
-    // 4. commit point, then scratch cleanup (including the protocol
-    // dirs themselves once empty — mkdirs markers/parents outlive
-    // their children on object stores and POSIX alike)
-    fs.delete(journal, false)
-    fs.delete(pendingOp, true)
-    deleteIfEmpty(fs, journal.getParent)
-    deleteIfEmpty(fs, pendingOp.getParent)
   }
 
   private def deleteIfEmpty(fs: FileSystem, dir: Path): Unit =

@@ -56,30 +56,49 @@ object IncrementalIngest {
     // upsertRanges' lock), invalidating those listings under the
     // running merge query. Single-writer contract: nothing mutates the
     // table between this recovery and the upsert's own locked one.
-    BlockRangeSink.recoverTable(factsDir)
-    val wm = BlockRangeSink.watermark(spark, factsDir)
+    BlockRangeSink.timed("ingest.recover")(
+      BlockRangeSink.recoverTable(factsDir))
+    // ONE FS listing serves the whole cycle: the watermark's max-range
+    // lookup AND the affected-partition membership check below (the
+    // old shape listed for the watermark, then re-listed the entire
+    // table inside the merge read's file index — at 100 TB that second
+    // listing is O(all partitions) per cycle for a tail-sized merge).
+    val existing = BlockRangeSink.timed("ingest.stats")(
+      BlockRangeSink.stats(factsDir).filter(_.nFiles > 0))
+    val wm =
+      if (existing.isEmpty) -1L
+      else BlockRangeSink.timed("ingest.watermark")(
+        BlockRangeSink.tailMaxProbe(spark, factsDir,
+          existing.map(_.blockRange).max, "block").head().getLong(0))
     val fresh = raw.filter(col("block") > wm)
-    val n = fresh.count()
+    // one pass over the feed yields both the admit count and the
+    // affected range set (the old shape ran a count job, then a second
+    // aggregate to build the semi-join's broadcast side)
+    val aggRow = BlockRangeSink.timed("ingest.freshAgg")(
+      fresh.agg(count(lit(1)),
+        collect_set(expr(s"block div ${BlockRangeSink.RangeSize}"))).head())
+    val n = aggRow.getLong(0)
     if (n > 0) {
+      val affected = aggRow.getSeq[Long](1).toSet
+      val overlap = existing.map(_.blockRange).filter(affected)
       val batch =
-        if (wm < 0) fresh
+        if (overlap.isEmpty) fresh
         else {
-          val affected = fresh
-            .select((col("block") / BlockRangeSink.RangeSize).cast("long")
-              .as("r")).distinct()
-          val existingInAffected = BlockRangeSink.read(spark, factsDir)
+          // read EXACTLY the affected partitions' directories — no
+          // whole-table file index, no semi-join: the membership test
+          // already happened driver-side on metadata
+          val dirs = overlap.map(r => s"$factsDir/blockRange=$r")
+          spark.read.option("basePath", factsDir).parquet(dirs: _*)
             .drop("blockRange")
-            .join(broadcast(affected),
-              (col("block") / BlockRangeSink.RangeSize).cast("long") === col("r"),
-              "left_semi")
-          existingInAffected.unionByName(fresh)
+            .unionByName(fresh)
         }
       // NOT BlockRangeSink.write: the overwrite's crash contract is
       // "re-run the same batch", and an ingest re-run is not the same
       // batch (the admit filter above moves with the watermark). The
-      // ascending journaled per-range commit makes THIS cycle
+      // single-journal batched commit makes THIS cycle
       // crash-convergent — see BlockRangeSink.upsertRanges.
-      BlockRangeSink.upsertRanges(batch, factsDir)
+      BlockRangeSink.timed("ingest.upsert")(
+        BlockRangeSink.upsertRanges(batch, factsDir))
     }
     n
   }

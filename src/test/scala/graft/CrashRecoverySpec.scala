@@ -240,10 +240,19 @@ class CrashRecoverySpec extends SparkTestBase {
     assert(content(dir) == before,
       "old generation was damaged before the journal published")
     // ...and the new generation is durable parquet under _graft_pending
+    // (listed recursively: batched compaction stages the partitioned
+    // layout pending/<opId>/blockRange=<r>/*.parquet)
     val pending = new Path(dir, BlockRangeSink.PendingDirName)
-    val stagedParquet = fs.listStatus(pending).flatMap(d =>
-      fs.listStatus(d.getPath).filter(f =>
-        f.isFile && f.getPath.getName.endsWith(".parquet")))
+    val stagedParquet = {
+      val it = fs.listFiles(pending, true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toSeq
+    }
     assert(stagedParquet.nonEmpty, "no durable staged generation found")
     val stagedRows = spark.read.parquet(
       stagedParquet.map(_.getPath.toString).toIndexedSeq: _*).count()

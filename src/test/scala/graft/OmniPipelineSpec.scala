@@ -68,7 +68,8 @@ class OmniPipelineSpec extends SparkTestBase {
     // partitions are empty — the regime where a per-partition offset
     // bug (off-by-one, missing-empty-partition, wrong cumulative order)
     // would misnumber whole ranges while staying dense.
-    val txs = scala.util.Random.shuffle((1 to 1000).map { i =>
+    // fixed seed: a failing input ordering must be reproducible
+    val txs = new scala.util.Random(13).shuffle((1 to 1000).map { i =>
       simpleSend(A, B, BigDecimal(i), block = i % 37, pos = i % 5)
         .copy(txid = f"t$i%04d")
     }.toList)
@@ -81,6 +82,41 @@ class OmniPipelineSpec extends SparkTestBase {
     assert(stamped.length == 1000)
     stamped.foreach { case (t, s) => assert(expected(t.txid) == s,
       s"txid ${t.txid} stamped $s, expected ${expected(t.txid)}") }
+  }
+
+  test("withSerials at an adversarial 4096-range-partition stamp: " +
+      "offsets literal holds, serials stay dense (scale-headroom pin)") {
+    // At 100 TB the stamper's partition-offset literal carries one Long
+    // per range partition (O(10^4-10^5)); pin the mechanism at 4096
+    // partitions over a small stream — nearly every partition empty,
+    // the offsets array 3 orders of magnitude larger than the data —
+    // so a constant-pool/codegen ceiling or an empty-partition offset
+    // bug surfaces here, not at the 1000x sweep.
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4096")
+    try {
+      val txs = (1 to 500).map { i =>
+        simpleSend(A, B, BigDecimal(i), block = i % 91, pos = i % 7)
+          .copy(txid = f"p$i%04d")
+      }
+      val stamped = OmniPipeline
+        .withSerials(spark.createDataset(txs).repartition(17))
+        .collect()
+      val expected = txs
+        .sortBy(t => (t.block, t.positioninblock, t.txid))
+        .zipWithIndex.map { case (t, i) => t.txid -> (i + 1L) }.toMap
+      assert(stamped.length == 500)
+      stamped.foreach { case (t, s) => assert(expected(t.txid) == s) }
+      // post-hoc offset-consistency gate (r13 ADVICE): the maximum
+      // serial must equal the total count — a lost-and-recomputed
+      // cache partition whose counts disagreed with the collected
+      // offsets would break density here
+      assert(stamped.map(_._2).max == 500L)
+      assert(stamped.map(_._2).toSet.size == 500)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      graft.queries.Q.releaseScoped()
+    }
   }
 
   test("freeze: snapshot, receive-while-frozen redirect, unfreeze (sql.py:1408-1414)") {

@@ -17,9 +17,20 @@ if [ $# -gt 0 ]; then QUERIES="$*"; else
   QUERIES=$(GRAFT_CLASSES="${GRAFT_CLASSES:-/tmp/graft_classes}" \
     tools/run_graft.sh graft.ListQueries 2>/dev/null)
 fi
-# one Explain process for all queries (session reuse), split by marker
+# one Explain process for all queries (session reuse), split by marker.
+# close(f) per marker: without it awk holds one fd per query (~160),
+# and non-gawk awks with low fd caps would silently truncate captures.
 tools/run_graft.sh graft.Explain $QUERIES 2>/dev/null \
   | awk -v out="$OUT" -v suf="$SUF" '
-    /^===== .* =====$/ { name=$2; f=out "/" name "_" suf ".txt"; next }
-    f { print > f }'
-echo "captured: $(ls "$OUT" | grep -c "_$SUF.txt$") plans under $OUT"
+    /^===== .* =====$/ {
+      if (f) close(f)
+      name=$2; f=out "/" name "_" suf ".txt"; next
+    }
+    f { print > f }
+    END { if (f) close(f) }'
+N=$(ls "$OUT" | grep -c "_$SUF.txt$")
+echo "captured: $N plans under $OUT"
+if [ "$N" -eq 0 ]; then
+  echo "capture_plans.sh: zero plans captured — Explain failed?" >&2
+  exit 1
+fi
