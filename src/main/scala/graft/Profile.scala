@@ -22,21 +22,26 @@ object Profile {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one lock guards every listener-side structure: callbacks arrive on
+    // the listener-bus thread while the main thread reads/clears between
+    // queries (r13 ADVICE — unsynchronized, late events could be dropped
+    // or attributed to the next query, and taskTimes grew unbounded)
+    val lock = new Object
     val stages = mutable.ArrayBuffer.empty[String]
     val jobOfStage = mutable.Map.empty[Int, String]
     val taskTimes = mutable.Map.empty[Int, mutable.ArrayBuffer[Double]]
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = {
+      override def onJobStart(j: SparkListenerJobStart): Unit = lock.synchronized {
         val desc = Option(j.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .getOrElse("")
         j.stageIds.foreach(sid => jobOfStage(sid) = desc)
       }
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = lock.synchronized {
         val ts = taskTimes.getOrElseUpdate(e.stageId, mutable.ArrayBuffer.empty)
         ts += e.taskInfo.duration / 1000.0
       }
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = lock.synchronized {
         val si = e.stageInfo
         val tm = si.taskMetrics
         val wall = (for (a <- si.completionTime; b <- si.submissionTime)
@@ -58,15 +63,23 @@ object Profile {
     args.foreach { name =>
       qmap.get(name) match {
         case Some(fn) =>
-          stages.clear()
+          lock.synchronized { stages.clear(); taskTimes.clear() }
           spark.sparkContext.setJobDescription(s"profile:$name")
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9
-          // give the listener bus a moment to drain
-          Thread.sleep(500)
+          // quiescence-based drain (the bus API is private[spark]):
+          // poll until no new stage-completion lands for 600 ms, so a
+          // late event is no longer attributed to the next query
+          var seen = -1
+          var stable = 0
+          while (stable < 2) {
+            Thread.sleep(300)
+            val now = lock.synchronized(stages.size)
+            if (now == seen) stable += 1 else { stable = 0; seen = now }
+          }
           println(s"===== $name  total=${f"$dt%.2f"}s =====")
-          stages.foreach(println)
+          lock.synchronized { stages.foreach(println) }
           graft.queries.Q.releaseScoped()
           spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values
