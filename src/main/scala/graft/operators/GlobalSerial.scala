@@ -26,20 +26,43 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object GlobalSerial {
   def assign(df: DataFrame, serialCol: String, order: Column*): DataFrame = {
     val spark = df.sparkSession
-    // Columnar query-scoped pin, same rationale as OmniPipeline.stamp:
-    // zipWithIndex's count job and data job share one shuffle lineage
-    // (partitioning is pinned regardless), but the pin makes the
-    // post-shuffle sort execute once and store compressed batches
-    // rather than re-sorting — or worse, object-caching — wide rows.
+    import org.apache.spark.sql.functions.{col, element_at, typedLit}
+    // One object pass (same partition-offset mechanism as
+    // OmniPipeline.stamp/withSerials, ported r14): tag each sorted row
+    // with (partition id, 1-based local index), pin THAT columnar
+    // (query-scoped — compressed batches, not wide JVM objects), read
+    // the per-partition counts off the cache with a columnar aggregate
+    // (which doubles as the eager fill), and assign
+    // serial = offsets(pid) + localIdx as codegen arithmetic.
+    // zipWithIndex's separate count job and second full deserialize
+    // pass are gone; range partitions are key-ordered, so this IS the
+    // zipWithIndex assignment (w1_global_serial's oracle — the naive
+    // global row_number — pins it end-to-end).
     val sorted = df.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
+    val base = sorted.schema.fields
+    val idxSchema = StructType(base :+
+      StructField("__gs_pid", org.apache.spark.sql.types.IntegerType,
+        nullable = false) :+
+      StructField("__gs_idx", LongType, nullable = false))
+    val indexed = spark.createDataFrame(
+        sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+          var i = 0L
+          it.map { row => i += 1L; Row.fromSeq(row.toSeq :+ pid :+ i) }
+        }, idxSchema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.CacheScope.defer(() => sorted.unpersist(blocking = false))
-    val schema = StructType(
-      sorted.schema.fields :+ StructField(serialCol, LongType, nullable = false))
-    val withSerial = sorted.rdd.zipWithIndex.map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ (idx + 1L))
+    graft.CacheScope.defer(() => indexed.unpersist(blocking = false))
+    val counts = indexed.groupBy(col("__gs_pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val nParts = indexed.rdd.getNumPartitions
+    val offsets = new Array[Long](nParts)
+    var acc = 0L
+    (0 until nParts).foreach { p =>
+      offsets(p) = acc; acc += counts.getOrElse(p, 0L)
     }
-    spark.createDataFrame(withSerial, schema)
+    indexed.select(base.map(f => col("`" + f.name + "`")) :+
+      (col("__gs_idx") +
+        element_at(typedLit(offsets.toSeq), col("__gs_pid") + 1))
+        .as(serialCol): _*)
   }
 }

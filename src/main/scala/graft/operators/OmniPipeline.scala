@@ -111,34 +111,50 @@ object OmniPipeline {
   /** Generic serial stamper — stamp the NARROWEST dataset available
     * (e.g. key tuples) and join/map the wide rows afterwards: the
     * sample and count passes then move only a few columns.
+    *
+    * Same one-pass partition-offset mechanism as [[withSerials]]
+    * (which it previously lacked — r13 ported only the RawTx stamper):
+    * ONE object pass tags each sorted row with (partition id, 1-based
+    * local index) and is pinned as a COLUMNAR query-scoped cache (a
+    * wide row set cached as JVM objects costs ~1 kB/row of heap + GC
+    * where compressed columnar batches are several times smaller); the
+    * per-partition counts are a cheap columnar aggregate off that
+    * cache (which doubles as the eager fill), and the dense serial
+    * rides as literal-array arithmetic in codegen. zipWithIndex's
+    * count job + second full deserialize pass are gone. Range
+    * partitions are key-ordered, so the assignment IS zipWithIndex's;
+    * OmniPipelineSpec pins the equivalence for this stamper too. The
+    * cache is CacheScope-registered per call — two concurrent
+    * stamper-using queries cannot unpersist each other.
     */
   def stamp[T](txs: Dataset[T], order: org.apache.spark.sql.Column*): Dataset[(T, Long)] = {
     val spark = txs.sparkSession
-    implicit val enc: Encoder[(T, Long)] =
+    implicit val enc2: Encoder[(T, Long)] =
       Encoders.tuple(txs.encoder, Encoders.scalaLong)
-    // zipWithIndex runs a count job before the data pass — pin the
-    // sorted result so the shuffle+sort executes once, not twice. The
-    // pin is a COLUMNAR DataFrame persist, not an RDD object cache: a
-    // wide row set (e.g. 150M RawTx at the 1000× probe) cached as JVM
-    // objects costs ~1 kB/row of heap + GC and spills through Java
-    // serialization, where the compressed columnar batches are several
-    // times smaller and decode per pass is a cheap scan. The cache is
-    // query-scoped via CacheScope (NOT a global single slot, which
-    // would let two stamper-using queries running concurrently in one
-    // session unpersist each other's data mid-flight): each caller's
-    // cache lives until the harness's CacheScope.release() after its
-    // action completes, and the zero-resident-after-release invariant
-    // (CacheHygieneSpec) is preserved because release drops them all.
-    // (Partitioning is pinned either way: zipWithIndex's two jobs share
-    // one RDD lineage, so the range exchange executes once and both
-    // jobs read the same shuffle output.)
+    implicit val enc3: Encoder[(T, Int, Long)] =
+      Encoders.tuple(txs.encoder, Encoders.scalaInt, Encoders.scalaLong)
     val sorted = txs
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
+    val indexed = spark.createDataset(
+        sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+          var i = 0L
+          it.map { tx => i += 1L; (tx, pid, i) }
+        })
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.CacheScope.defer(() => sorted.unpersist(blocking = false))
-    spark.createDataset(
-      sorted.rdd.zipWithIndex.map { case (tx, i) => (tx, i + 1L) })
+    graft.CacheScope.defer(() => indexed.unpersist(blocking = false))
+    val counts = indexed.groupBy(col("_2")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val nParts = indexed.rdd.getNumPartitions
+    val offsets = new Array[Long](nParts)
+    var acc = 0L
+    (0 until nParts).foreach { p =>
+      offsets(p) = acc; acc += counts.getOrElse(p, 0L)
+    }
+    indexed.select(col("_1"),
+        (col("_3") + element_at(typedLit(offsets.toSeq), col("_2") + 1))
+          .as("_2"))
+      .as[(T, Long)]
   }
 
   def derive(txs: Dataset[RawTx], tipBlock: Long): Derived =

